@@ -248,23 +248,33 @@ def decode_line(ss: SliceState, c: RangeDecoder, gb: BitReader | None,
 
 
 class _Row:
-    """A padded sample row: logical indices -3..w+2 map onto a list."""
-    __slots__ = ("data",)
+    """A padded sample row: logical indices -3..w+2 map onto a list.
+
+    Stored values wrap like the reference's sample buffers: int16 for the
+    regular paths, int32 when use32bit (RGB >= 16 bpc).  The wrap is
+    semantically significant for full-range 16-bit YUV (values >= 32768 go
+    negative and feed the predictor that way on both ends)."""
+    __slots__ = ("data", "wrap_bits")
 
     PAD = 3
 
-    def __init__(self, w: int):
+    def __init__(self, w: int, wrap_bits: int = 16):
         self.data = [0] * (w + 6)
+        self.wrap_bits = wrap_bits
+
+    def _w(self, v: int) -> int:
+        b = self.wrap_bits
+        return ((int(v) + (1 << (b - 1))) & ((1 << b) - 1)) - (1 << (b - 1))
 
     def __getitem__(self, i: int) -> int:
         return self.data[i + self.PAD]
 
     def __setitem__(self, i: int, v: int):
-        self.data[i + self.PAD] = v
+        self.data[i + self.PAD] = self._w(v)
 
     def fill_from(self, arr):
         d = self.data
-        d[self.PAD:self.PAD + len(arr)] = [int(v) for v in arr]
+        d[self.PAD:self.PAD + len(arr)] = [self._w(v) for v in arr]
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +319,8 @@ def decode_plane(ss: SliceState, c, gb, out: np.ndarray, plane_index: int,
         cur[-1] = prev[0]
         prev[w] = prev[w - 1]
         decode_line(ss, c, gb, qt, states, vlcs, w, cur, prev, bits)
-        out[y] = cur.data[_Row.PAD:_Row.PAD + w]
+        mask = (1 << bits) - 1
+        out[y] = [v & mask for v in cur.data[_Row.PAD:_Row.PAD + w]]
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +336,8 @@ def encode_rgb(ss: SliceState, c, pb, planes: list[np.ndarray], bits: int):
     offset = 1 << bits
     nplanes = 3 + (1 if p.transparency else 0)
     ring = 3 if p.context_model else 2
-    rows = [[_Row(w) for _ in range(ring)] for _ in range(4)]
+    wb = 32 if p.use32bit else 16
+    rows = [[_Row(w, wb) for _ in range(ring)] for _ in range(4)]
     ss.run_index = 0
 
     for y in range(h):
@@ -376,7 +388,8 @@ def decode_rgb(ss: SliceState, c, gb, out_planes: list[np.ndarray],
     lbd = p.bits <= 8
     offset = 1 << bits
     nplanes = 3 + (1 if p.transparency else 0)
-    rows = [[_Row(w), _Row(w)] for _ in range(4)]
+    wb = 32 if p.use32bit else 16
+    rows = [[_Row(w, wb), _Row(w, wb)] for _ in range(4)]
     ss.run_index = 0
 
     for y in range(h):

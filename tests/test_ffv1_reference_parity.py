@@ -41,6 +41,25 @@ PARITY_CASES = [
 ]
 
 
+def test_parity_fullrange_16bit(tmp_path):
+    """Full-range 16-bit exercises the int16 sample-buffer wrap semantics."""
+    rng = np.random.RandomState(11)
+    frames = [[rng.randint(0, 65536, (H, W)).astype(np.int64)
+               for _ in range(3)] for _ in range(2)]
+    raw = b"".join(p.astype("<u2").tobytes() for f in frames for p in f)
+    extradata, pkts = ref_encode_yuv(raw, W, H, "yuv444p16le",
+                                     ["-level", "3", "-slices", "4"],
+                                     str(tmp_path))
+    enc = FFV1Encoder(W, H, "yuv444p16", FFV1Config(level=3, slices=4))
+    assert enc.extradata == extradata
+    dec = FFV1Decoder(W, H, extradata)
+    for t, pkt in enumerate(pkts):
+        assert enc.encode(frames[t]) == pkt, f"frame {t}"
+        out = dec.decode(pkt)
+        for a, b in zip(frames[t], out):
+            assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("name,pix,hs,vs,bits,opts,cfg", PARITY_CASES,
                          ids=[c[0] for c in PARITY_CASES])
 def test_parity(name, pix, hs, vs, bits, opts, cfg, tmp_path):
