@@ -79,6 +79,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p)]
         lib.ffv1rt_slice_damaged.restype = ctypes.c_int32
         lib.ffv1rt_slice_damaged.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.ffv1rt_encode_sym.restype = ctypes.c_int64
+        lib.ffv1rt_encode_sym.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.ffv1rt_set_initial_states.argtypes = [
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -163,6 +169,23 @@ class NativeFFV1Codec:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if n < 0:
             raise RuntimeError("native encode failed")
+        return out[:n].tobytes()
+
+    def encode_sym(self, planes, ctx_streams, diff_streams,
+                   keyframe: bool) -> bytes:
+        """Phase-B entropy coding over precomputed (context, diff) streams
+        (one int32 [h, w] pair per coded plane, from the TPU phase A)."""
+        arrs, ptrs = self._plane_ptrs(planes)
+        carrs, cptrs = self._plane_ptrs(ctx_streams)
+        darrs, dptrs = self._plane_ptrs(diff_streams)
+        cap = 16384 + 4 * 37 * self.p.width * self.p.height
+        out = np.empty(cap, dtype=np.uint8)
+        n = self.lib.ffv1rt_encode_sym(
+            self.handle, ptrs, cptrs, dptrs, len(carrs),
+            1 if keyframe else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError("native encode_sym failed")
         return out[:n].tobytes()
 
     def decode(self, packet: bytes):

@@ -742,6 +742,80 @@ static bool decode_plane_t(const Params& p, SliceState& ss, RangeDec& c,
     return true;
 }
 
+// Phase-B-only plane encode: (context, diff) precomputed by the TPU
+// phase-A pass (ffv1/tpu.py); full-frame int32 streams, same geometry as
+// the plane.  Coder semantics identical to encode_line.
+struct SymView {
+    const int32_t* ctx;   // contiguous [h, w] crop for this slice+plane
+    const int32_t* diff;
+    int stride;
+    const int32_t* ctx_row(int y) const {
+        return ctx + (size_t)y * stride;
+    }
+    const int32_t* diff_row(int y) const {
+        return diff + (size_t)y * stride;
+    }
+};
+
+static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
+                             BitWriter& pb, const SymView& sv, int w, int h,
+                             int plane_index, int bits, size_t budget,
+                             const std::vector<uint8_t>& obuf) {
+    ss.run_index = 0;
+    uint8_t* states = p.ac != AC_GOLOMB ? ss.states[plane_index].data()
+                                        : nullptr;
+    VlcState* vlc = p.ac == AC_GOLOMB ? ss.vlc[plane_index].data() : nullptr;
+
+    for (int y = 0; y < h; y++) {
+        if (p.ac != AC_GOLOMB) {
+            if (obuf.size() + (size_t)w * 35 > budget) return false;
+        } else {
+            if (obuf.size() + (size_t)w * 4 > budget) return false;
+        }
+        const int32_t* ctxs = sv.ctx_row(y);
+        const int32_t* diffs = sv.diff_row(y);
+        int run_index = ss.run_index, run_count = 0, run_mode = 0;
+        for (int x = 0; x < w; x++) {
+            int context = ctxs[x];
+            int diff = diffs[x];
+            if (p.ac != AC_GOLOMB) {
+                put_symbol(c, states + (size_t)context * kContextSize, diff,
+                           true);
+            } else {
+                if (context == 0) run_mode = 1;
+                if (run_mode) {
+                    if (diff) {
+                        while (run_count >= 1 << kLog2Run[run_index]) {
+                            run_count -= 1 << kLog2Run[run_index];
+                            run_index++;
+                            pb.put(1, 1);
+                        }
+                        pb.put(1 + kLog2Run[run_index], run_count);
+                        if (run_index) run_index--;
+                        run_count = 0;
+                        run_mode = 0;
+                        if (diff > 0) diff--;
+                    } else {
+                        run_count++;
+                    }
+                }
+                if (run_mode == 0)
+                    put_vlc_symbol(pb, vlc[context], diff, bits);
+            }
+        }
+        if (run_mode) {
+            while (run_count >= 1 << kLog2Run[run_index]) {
+                run_count -= 1 << kLog2Run[run_index];
+                run_index++;
+                pb.put(1, 1);
+            }
+            if (run_count) pb.put(1, 1);
+        }
+        ss.run_index = run_index;
+    }
+    return true;
+}
+
 template <typename T>
 static bool encode_rgb_t(const Params& p, SliceState& ss, RangeEnc& c,
                          BitWriter& pb, const PlaneView* pv, int nplanes,
@@ -1165,6 +1239,48 @@ struct Codec {
         ss.rct_ry = kCoeff[best][0];
     }
 
+    // optional precomputed (ctx, diff) streams, one per coded plane
+    std::vector<const int32_t*> sym_ctx, sym_diff;
+
+    bool encode_slice_body_sym(int si, RangeEnc& c,
+                               std::vector<uint8_t>& obuf,
+                               const int32_t* const* planes, bool keyframe,
+                               size_t budget) {
+        SliceState& ss = slices[si];
+        Rect r = slice_rect(p, si);
+        if (keyframe) ss.clear(p);
+        if (p.version > 2) write_slice_header(c, p, ss, r);
+
+        BitWriter pb;
+        pb.attach(&obuf);
+        if (p.ac == AC_GOLOMB) {
+            if (p.version > 2 || si == 0) c.terminate(p.version > 2 ? 1 : 0);
+        }
+
+        auto pv = slice_views(r, planes, nullptr);
+        const int n_coded = (int)pv.size();
+        int idx = 0;
+        auto one = [&](int li, int plane_index) {
+            size_t k = (size_t)si * n_coded + li;
+            SymView sv{sym_ctx[k], sym_diff[k], pv[li].w};
+            return encode_plane_sym(p, ss, c, pb, sv, pv[li].w, pv[li].h,
+                                    plane_index, p.bits, budget, obuf);
+        };
+        bool ok = one(0, 0);
+        idx = 1;
+        if (ok && p.chroma_planes && p.colorspace == 0) {
+            ok = one(1, 1) && one(2, 1);
+            idx = 3;
+        }
+        if (ok && p.transparency && p.colorspace == 0) ok = one(idx, 2);
+        if (!ok) return false;
+        if (p.ac == AC_GOLOMB)
+            pb.flush();
+        else
+            c.terminate(1);
+        return true;
+    }
+
     bool encode_slice_body(int si, RangeEnc& c, std::vector<uint8_t>& obuf,
                            const int32_t* const* planes, bool keyframe,
                            size_t budget) {
@@ -1246,8 +1362,13 @@ struct Codec {
                 } else if (p.ac == AC_RANGE_CUSTOM) {
                     c.tab = &custom_tab;
                 }
-                if (encode_slice_body(si, c, obuf, planes, keyframe,
-                                      budget)) {
+                // PCM retry codes raw samples: use the plane path then
+                bool done = (!sym_ctx.empty() && slices[si].coding_mode == 0)
+                    ? encode_slice_body_sym(si, c, obuf, planes, keyframe,
+                                            budget)
+                    : encode_slice_body(si, c, obuf, planes, keyframe,
+                                        budget);
+                if (done) {
                     chunks[si] = std::move(obuf);
                     return;
                 }
@@ -1546,6 +1667,19 @@ int64_t ffv1rt_encode(void* h, const int32_t* const* planes, int keyframe,
 int32_t ffv1rt_decode(void* h, const uint8_t* pkt, int64_t size,
                       int32_t* const* out_planes) {
     return static_cast<f2t::Codec*>(h)->decode_frame(pkt, size, out_planes);
+}
+
+int64_t ffv1rt_encode_sym(void* h, const int32_t* const* planes,
+                          const int32_t* const* ctx_streams,
+                          const int32_t* const* diff_streams, int n_streams,
+                          int keyframe, uint8_t* out, int64_t cap) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    ctx->sym_ctx.assign(ctx_streams, ctx_streams + n_streams);
+    ctx->sym_diff.assign(diff_streams, diff_streams + n_streams);
+    int64_t r = ctx->encode_frame(planes, keyframe, out, cap);
+    ctx->sym_ctx.clear();
+    ctx->sym_diff.clear();
+    return r;
 }
 
 int32_t ffv1rt_slice_damaged(void* h, int32_t si) {
