@@ -1,0 +1,216 @@
+"""FFV2 encoder/decoder sessions.
+
+Frame flow mirrors the reference (ffv2enc.c:ffv2_encode_frame /
+ffv2dec.c:ffv2_decode_frame): planes -> Q12 coefficient planes (padded to
+the 64-px superblock grid) -> lapped prefilter across SB borders ->
+per-superblock recursive block coding (split tree via an adaptive CDF, a
+4-bit transform type, DC coded losslessly with exp-golomb raw bits, PVQ
+gain/shape per frequency band) -> Daala-EC packet.  Decode runs the exact
+mirror with the postfilter after reconstruction.
+
+Divergences from the reference (we own both ends; the reference has no
+FFV2 golden vectors): MXU-friendly matrix transforms (see dsp.py), exact
+integer gain math (see pvq.py), and a (qp+1)-ary pulse alphabet so a band
+that concentrates all K pulses in one coefficient is codable
+(the reference's n=qp alphabet cannot represent |pulse| == qp,
+ffv2enc.c:181 / ffv2dec.c:128).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.pixfmt import get_pix_fmt, PixelFormat
+from .entropy import DaalaEncoder, DaalaDecoder, DaalaCDF
+from . import dsp
+from .pvq import pvq_search, band_reconstruct, icbrt
+
+SB = dsp.SB_SIZE
+SPLIT_END, SPLIT_XY, SPLIT_Y, SPLIT_X = range(4)
+SPLIT_NB = 4
+
+# pix_fmt ids on the wire = the reference's AVPixelFormat enum values
+# (ffv2enc.c:449 codes avctx->pix_fmt as a uint bounded by AV_PIX_FMT_NB)
+PIXFMT_WIRE_IDS = {
+    "gray": 8, "yuv444p": 5, "yuv444p10": 70, "yuv444p12": 133,
+    "gbrp": 73, "gbrp10": 77, "gbrp12": 137,
+}
+PIXFMT_WIRE_NB = 196
+_WIRE_TO_NAME = {v: k for k, v in PIXFMT_WIRE_IDS.items()}
+
+
+@dataclass
+class FFV2Config:
+    qp: int = 12             # -global_quality: pulses per band
+    lossless: bool = False   # declared by the reference, not yet wired
+
+
+def _pad_to_sb(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph = -(-h // SB) * SB
+    pw = -(-w // SB) * SB
+    out = np.zeros((ph, pw), dtype=np.int32)
+    out[:h, :w] = plane
+    return out
+
+
+def _subdiv_cdf() -> DaalaCDF:
+    # daalaent_cdf_alloc(&subdiv_cdf, 1, SPLIT_NB, 128, 0, 2, 0)
+    return DaalaCDF(1, SPLIT_NB, 128, 0, 2, 0)
+
+
+def _pulse_cdf(qp: int) -> DaalaCDF:
+    # reference: daalaent_cdf_alloc(&test_cdf, 13, qp, 64, 0, 6, 0);
+    # ours uses a (qp+1)-ary alphabet (see module docstring)
+    return DaalaCDF(13, qp + 1, 64, 0, 6, 0)
+
+
+def _quant_block(e: DaalaEncoder, cdf: DaalaCDF, stream: np.ndarray,
+                 qp: int, n: int):
+    """Quantize+code one scanned block (ffv2enc.c:quant_block)."""
+    dc = int(stream[0])
+    e.encode_golomb(abs(dc))
+    if dc:
+        e.encode_bits(1 if dc < 0 else 0, 1)
+
+    starts = dsp.band_starts(n)
+    ac = stream[1:]
+    for bi in range(len(starts) - 1):
+        lo, hi = starts[bi], starts[bi + 1]
+        band = ac[lo:hi].astype(np.int64)
+        igain = int(np.sum(band * band))
+        cg = icbrt(igain)
+        e.encode_golomb(cg)
+        pulses = pvq_search(band, qp)
+        pcnt = 0
+        for v in pulses:
+            if pcnt >= qp:
+                break
+            av = int(abs(v))
+            e.encode_cdf_adapt(cdf, av, bi % 13, qp + 1)
+            if av:
+                e.encode_bits(1 if v < 0 else 0, 1)
+            pcnt += av
+
+
+def _dequant_block(d: DaalaDecoder, cdf: DaalaCDF, qp: int, n: int) \
+        -> np.ndarray:
+    stream = np.zeros(n * n, dtype=np.int64)
+    dc = d.decode_golomb()
+    if dc:
+        dc *= 1 - 2 * d.decode_bits(1)
+    stream[0] = dc
+
+    starts = dsp.band_starts(n)
+    for bi in range(len(starts) - 1):
+        lo, hi = starts[bi], starts[bi + 1]
+        length = hi - lo
+        cg = d.decode_golomb()
+        pulses = np.zeros(length, dtype=np.int64)
+        pcnt = 0
+        for j in range(length):
+            if pcnt >= qp:
+                break
+            v = d.decode_cdf_adapt(cdf, bi % 13, qp + 1)
+            if v:
+                v *= 1 - 2 * d.decode_bits(1)
+            pulses[j] = v
+            pcnt += abs(v)
+        stream[1 + lo:1 + hi] = band_reconstruct(pulses, cg)
+    return stream
+
+
+class FFV2Encoder:
+    def __init__(self, width: int, height: int, pix_fmt: str,
+                 config: FFV2Config | None = None):
+        self.cfg = config or FFV2Config()
+        if pix_fmt not in PIXFMT_WIRE_IDS:
+            raise ValueError(
+                f"ffv2 supports {sorted(PIXFMT_WIRE_IDS)}, not {pix_fmt}")
+        self.fmt = get_pix_fmt(pix_fmt)
+        self.pix_fmt_name = pix_fmt
+        self.width = width
+        self.height = height
+        self.planes = self.fmt.nb_planes
+
+    def encode(self, planes) -> bytes:
+        qp = self.cfg.qp
+        e = DaalaEncoder()
+        subdiv = _subdiv_cdf()
+        pulse_cdf = _pulse_cdf(qp)
+
+        depth = self.fmt.bits
+        coeff = [dsp.lap_filter_frame_ver(
+                    dsp.lap_filter_frame_hor(
+                        _pad_to_sb(dsp.ref_to_coeff(np.asarray(p), depth)),
+                        SB, 32, True),
+                    SB, 32, True)
+                 for p in planes]
+
+        # frame header
+        e.encode_uint(PIXFMT_WIRE_IDS[self.pix_fmt_name], PIXFMT_WIRE_NB)
+        e.encode_golomb(qp)
+
+        ph, pw = coeff[0].shape
+        for y0 in range(0, ph, SB):
+            for x0 in range(0, pw, SB):
+                # split tree: flat 64x64 leaf (reference RDO stub does the
+                # same, ffv2enc.c:decode_block_rec)
+                e.encode_cdf_adapt(subdiv, SPLIT_END, 0, SPLIT_NB)
+                e.encode_bits(dsp.TX_DCT, 4)
+                for p in range(self.planes):
+                    blk = coeff[p][y0:y0 + SB, x0:x0 + SB]
+                    txed = dsp.fwd_tx_2d(blk, dsp.TX_DCT)
+                    stream = dsp.raster_to_coding(txed)
+                    _quant_block(e, pulse_cdf, stream, qp, SB)
+        return e.done()
+
+
+class FFV2Decoder:
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.fmt: PixelFormat | None = None
+
+    def decode(self, packet: bytes):
+        d = DaalaDecoder(packet)
+        subdiv = _subdiv_cdf()
+
+        wire_id = d.decode_uint(PIXFMT_WIRE_NB)
+        name = _WIRE_TO_NAME.get(wire_id)
+        if name is None:
+            raise ValueError(f"unknown pix_fmt id {wire_id} in stream")
+        self.fmt = get_pix_fmt(name)
+        qp = d.decode_golomb()
+        pulse_cdf = _pulse_cdf(qp)
+
+        nplanes = self.fmt.nb_planes
+        depth = self.fmt.bits
+        ph = -(-self.height // SB) * SB
+        pw = -(-self.width // SB) * SB
+        coeff = [np.zeros((ph, pw), dtype=np.int64) for _ in range(nplanes)]
+
+        for y0 in range(0, ph, SB):
+            for x0 in range(0, pw, SB):
+                split = d.decode_cdf_adapt(subdiv, 0, SPLIT_NB)
+                if split != SPLIT_END:
+                    raise NotImplementedError(
+                        "block splits not emitted by this encoder yet")
+                tx_type = d.decode_bits(4)
+                for p in range(nplanes):
+                    stream = _dequant_block(d, pulse_cdf, qp, SB)
+                    blk = dsp.coding_to_raster(stream, SB)
+                    coeff[p][y0:y0 + SB, x0:x0 + SB] = \
+                        dsp.inv_tx_2d(blk.astype(np.int32), tx_type)
+
+        out = []
+        for p in range(nplanes):
+            c = dsp.lap_filter_frame_hor(
+                dsp.lap_filter_frame_ver(coeff[p], SB, 32, False),
+                SB, 32, False)
+            pix = dsp.coeff_to_ref(c.astype(np.int32), depth)
+            mx = (1 << depth) - 1
+            out.append(np.clip(pix[:self.height, :self.width], 0, mx))
+        return out
