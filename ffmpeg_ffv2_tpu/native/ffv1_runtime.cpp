@@ -253,30 +253,65 @@ static int get_symbol(RangeDec& c, uint8_t* st, bool is_signed) {
 // Bit IO (MSB-first) + Golomb-Rice
 // ---------------------------------------------------------------------------
 
+// MSB-first bit writer over a raw growable buffer (no per-write size
+// bookkeeping in the hot path; callers reserve per line via ensure()).
 struct BitWriter {
-    std::vector<uint8_t>* out = nullptr;
+    std::vector<uint8_t>* out = nullptr;  // final destination (on flush)
+    uint8_t* buf = nullptr;
+    size_t cap = 0;
+    size_t len = 0;
     uint64_t acc = 0;
     int nbits = 0;
 
-    void attach(std::vector<uint8_t>* o) { out = o; }
+    ~BitWriter() { std::free(buf); }
 
-    void put(int n, uint32_t v) {
-        if (!n) return;
-        acc = (acc << n) | (v & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
-        nbits += n;
-        while (nbits >= 8) {
-            nbits -= 8;
-            out->push_back((uint8_t)(acc >> nbits));
+    void attach(std::vector<uint8_t>* o) {
+        out = o;
+        if (!buf) {
+            cap = 1 << 16;
+            buf = (uint8_t*)std::malloc(cap);
         }
-        acc &= (1ull << nbits) - 1;
+        len = 0;
+        acc = 0;
+        nbits = 0;
     }
 
+    void ensure(size_t extra) {
+        if (len + extra + 16 > cap) {
+            while (len + extra + 16 > cap) cap *= 2;
+            buf = (uint8_t*)std::realloc(buf, cap);
+        }
+    }
+
+    inline void put(int n, uint32_t v) {
+        acc = (acc << n) | (v & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+        nbits += n;
+        if (nbits >= 32) {
+            nbits -= 32;
+            uint32_t w = (uint32_t)(acc >> nbits);
+            buf[len++] = (uint8_t)(w >> 24);
+            buf[len++] = (uint8_t)(w >> 16);
+            buf[len++] = (uint8_t)(w >> 8);
+            buf[len++] = (uint8_t)w;
+            acc &= (1ull << nbits) - 1;
+        }
+    }
+
+    // byte count written so far (excluding buffered bits)
+    size_t byte_len() const { return len + (size_t)(nbits >> 3); }
+
     void flush() {
+        while (nbits >= 8) {
+            nbits -= 8;
+            buf[len++] = (uint8_t)(acc >> nbits);
+        }
         if (nbits) {
-            out->push_back((uint8_t)(acc << (8 - nbits)));
-            acc = 0;
+            buf[len++] = (uint8_t)(acc << (8 - nbits));
             nbits = 0;
         }
+        acc = 0;
+        out->insert(out->end(), buf, buf + len);
+        len = 0;
     }
 };
 
@@ -350,7 +385,7 @@ static inline int fold(int diff, int bits) {
     return diff;
 }
 
-static void put_sr_golomb(BitWriter& pb, int i, int k, int limit,
+__attribute__((always_inline)) static inline void put_sr_golomb(BitWriter& pb, int i, int k, int limit,
                           int esc_len) {
     unsigned v = i >= 0 ? 2u * i : -2u * i - 1;
     int e = v >> k;
@@ -371,18 +406,26 @@ static int get_sr_golomb(BitReader& gb, int k, int limit, int esc_len) {
     return (int)(v >> 1) ^ -(int)(v & 1);
 }
 
-static void put_vlc_symbol(BitWriter& pb, VlcState& st, int v, int bits) {
+static inline int rice_k(int count, unsigned error_sum) {
+    // smallest k with count << k >= error_sum (no division: start from the
+    // bit-length gap and adjust by at most one)
+    if ((unsigned)count >= error_sum) return 0;
+    int k = (32 - __builtin_clz(error_sum - 1)) - (32 - __builtin_clz(count));
+    if (k > 0 && ((unsigned)count << (k - 1)) >= error_sum) k--;
+    if (((unsigned)count << k) < error_sum) k++;
+    return k;
+}
+
+__attribute__((always_inline)) static inline void put_vlc_symbol(BitWriter& pb, VlcState& st, int v, int bits) {
     v = fold(v - st.bias, bits);
-    int i = st.count, k = 0;
-    while (i < (int)st.error_sum) { k++; i += i; }
+    int k = rice_k(st.count, st.error_sum);
     int code = v ^ ((2 * st.drift + st.count) >> 31);
     put_sr_golomb(pb, code, k, 12, bits);
     st.update(v);
 }
 
 static int get_vlc_symbol(BitReader& gb, VlcState& st, int bits) {
-    int i = st.count, k = 0;
-    while (i < (int)st.error_sum) { k++; i += i; }
+    int k = rice_k(st.count, st.error_sum);
     int v = get_sr_golomb(gb, k, 12, bits);
     v ^= (2 * st.drift + st.count) >> 31;
     int ret = fold(v + st.bias, bits);
@@ -519,7 +562,9 @@ struct LineCodec {
         if (p.ac != AC_GOLOMB) {
             if (buf.size() + (size_t)w * 35 > byte_budget) return false;
         } else {
-            if (buf.size() + (size_t)w * 4 > byte_budget) return false;
+            if (buf.size() + pb.byte_len() + (size_t)w * 4 > byte_budget)
+                return false;
+            pb.ensure((size_t)w * 4 + 64);
         }
 
         if (ss.coding_mode == 1) {
@@ -770,7 +815,9 @@ static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
         if (p.ac != AC_GOLOMB) {
             if (obuf.size() + (size_t)w * 35 > budget) return false;
         } else {
-            if (obuf.size() + (size_t)w * 4 > budget) return false;
+            if (obuf.size() + pb.byte_len() + (size_t)w * 4 > budget)
+                return false;
+            pb.ensure((size_t)w * 4 + 64);
         }
         const int32_t* ctxs = sv.ctx_row(y);
         const int32_t* diffs = sv.diff_row(y);
