@@ -108,6 +108,37 @@ def make_ffv1_encoder(args, w, h, backend):
     return _NativeSession()
 
 
+def cmd_encode_twopass(args, w, h, frames):
+    """-pass 1 collects stats to the log file; -pass 2 reads them and
+    encodes with optimized initial states (ffv1enc.c 2-pass flow)."""
+    from ..ffv1.params import FFV1Config, params_from_config
+    from ..ffv1.native import NativeFFV1Codec
+    from ..ffv1 import twopass, headers as Hdr
+    cfg = FFV1Config(level=max(args.level, 2) if args.level >= 0 else 3,
+                     coder=_coder_value(args.coder), context=args.context,
+                     slices=args.slices, slicecrc=args.slicecrc,
+                     gop_size=args.g)
+    p = params_from_config(cfg, args.pix_fmt, w, h)
+    log = args.passlogfile + "-0.log"
+    if args.pass_num == 2:
+        p = twopass.apply_pass2(p, open(log).read())
+    enc = NativeFFV1Codec(p)
+    if args.pass_num == 1:
+        enc.enable_stats()
+    extradata = Hdr.write_extradata(p)
+    avi = AviWriter(w, h, "FFV1", (25, 1), extradata)
+    for t, planes in enumerate(frames):
+        key = args.g == 0 or t % args.g == 0
+        avi.write_packet(enc.encode(planes, key), key)
+    avi.save(args.output)
+    if args.pass_num == 1:
+        rc, rc2, gob = twopass.collect_stats(enc)
+        with open(log, "w") as f:
+            f.write(twopass.stats_to_text(p, rc, rc2, gob))
+        print(f"pass 1: stats -> {log}")
+    print(f"encoded {len(frames)} frames -> {args.output}")
+
+
 def cmd_encode(args):
     w, h = _parse_size(args.s)
     fmt = get_pix_fmt(args.pix_fmt)
@@ -116,6 +147,9 @@ def cmd_encode(args):
         sys.exit("no frames read")
 
     if args.c == "ffv1":
+        if args.pass_num:
+            cmd_encode_twopass(args, w, h, frames)
+            return
         enc = make_ffv1_encoder(args, w, h, args.backend)
         fourcc = "FFV1"
     elif args.c == "ffv2":
@@ -214,6 +248,9 @@ def main(argv=None):
                        type=int, default=12)
         p.add_argument("--backend", default="native",
                        choices=["native", "tpu", "python"])
+        p.add_argument("-pass", dest="pass_num", type=int, default=0,
+                       choices=[0, 1, 2])
+        p.add_argument("-passlogfile", default="ffv1pass")
 
     pe = sub.add_parser("encode")
     add_common_enc(pe)

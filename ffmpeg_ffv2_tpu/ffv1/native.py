@@ -88,6 +88,16 @@ def get_lib():
         lib.ffv1rt_set_initial_states.argtypes = [
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.ffv1rt_set_stats_mode.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.ffv1rt_get_stats.restype = ctypes.c_int32
+        lib.ffv1rt_get_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        lib.ffv1rt_sort_stt.restype = ctypes.c_int32
+        lib.ffv1rt_sort_stt.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8)]
+        lib.ffv1rt_find_best_state.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -212,6 +222,9 @@ class NativeFFV1Codec:
         if ret < 0:
             raise ValueError(f"native decode failed ({ret})")
         return outs
+
+    def enable_stats(self):
+        self.lib.ffv1rt_set_stats_mode(self.handle, 1)
 
     def slice_damaged(self, si: int) -> bool:
         return bool(self.lib.ffv1rt_slice_damaged(self.handle, si))

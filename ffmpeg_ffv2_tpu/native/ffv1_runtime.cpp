@@ -21,6 +21,7 @@
 #include <thread>
 #include <atomic>
 #include <algorithm>
+#include <cmath>
 
 namespace f2t {
 
@@ -210,6 +211,44 @@ struct RangeDec {
 // ---------------------------------------------------------------------------
 
 static inline int ilog2(unsigned v) { return 31 - __builtin_clz(v); }
+
+struct RcStats {
+    // [state_value][bit] and per-(context,slot)[bit] tallies (pass 1)
+    std::vector<uint64_t> stat;    // 256*2
+    std::vector<uint64_t> stat2;   // ctx*32*2 for the active quant table
+    void init(size_t nctx) {
+        stat.assign(256 * 2, 0);
+        stat2.assign(nctx * 32 * 2, 0);  // 32 == kContextSize
+    }
+};
+
+static void put_symbol_stats(RangeEnc& c, uint8_t* st, int v, bool is_signed,
+                             RcStats& rs, size_t ctx_base) {
+    auto put = [&](int slot, int bit) {
+        rs.stat[(size_t)st[slot] * 2 + bit]++;
+        rs.stat2[(ctx_base + slot) * 2 + bit]++;
+        c.put(st + slot, bit);
+    };
+    if (v) {
+        const unsigned a = v < 0 ? -(unsigned)v : (unsigned)v;
+        const int e = ilog2(a);
+        put(0, 0);
+        if (e <= 9) {
+            for (int i = 0; i < e; i++) put(1 + i, 1);
+            put(1 + e, 0);
+            for (int i = e - 1; i >= 0; i--) put(22 + i, (a >> i) & 1);
+            if (is_signed) put(11 + e, v < 0);
+        } else {
+            for (int i = 0; i < e; i++) put(1 + std::min(i, 9), 1);
+            put(1 + 9, 0);
+            for (int i = e - 1; i >= 0; i--)
+                put(22 + std::min(i, 9), (a >> i) & 1);
+            if (is_signed) put(11 + 10, v < 0);
+        }
+    } else {
+        put(0, 1);
+    }
+}
 
 static void put_symbol(RangeEnc& c, uint8_t* st, int v, bool is_signed) {
     if (v) {
@@ -481,6 +520,7 @@ struct SliceState {
     int coding_mode = 0;
     int reset_contexts = 0;
     bool damaged = false;
+    RcStats* stats = nullptr;   // set when pass-1 collection is on
 
     void init(const Params& p) {
         states.assign(p.plane_count, {});
@@ -584,8 +624,13 @@ struct LineCodec {
             diff = fold(diff, bits);
 
             if (p.ac != AC_GOLOMB) {
-                put_symbol(c, states + (size_t)context * kContextSize, diff,
-                           true);
+                if (ss.stats)
+                    put_symbol_stats(c, states + (size_t)context * kContextSize,
+                                     diff, true, *ss.stats,
+                                     (size_t)context * kContextSize);
+                else
+                    put_symbol(c, states + (size_t)context * kContextSize,
+                               diff, true);
             } else {
                 if (context == 0) run_mode = 1;
                 if (run_mode) {
@@ -826,8 +871,13 @@ static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
             int context = ctxs[x];
             int diff = diffs[x];
             if (p.ac != AC_GOLOMB) {
-                put_symbol(c, states + (size_t)context * kContextSize, diff,
-                           true);
+                if (ss.stats)
+                    put_symbol_stats(c, states + (size_t)context * kContextSize,
+                                     diff, true, *ss.stats,
+                                     (size_t)context * kContextSize);
+                else
+                    put_symbol(c, states + (size_t)context * kContextSize,
+                               diff, true);
             } else {
                 if (context == 0) run_mode = 1;
                 if (run_mode) {
@@ -1160,6 +1210,9 @@ struct Codec {
     RacTables custom_tab;
     bool have_custom = false;
     int n_threads = 1;
+    bool stats_mode = false;
+    int gob_count = 0;
+    std::vector<RcStats> slice_stats;
     // previous decoded frame for concealment
     std::vector<std::vector<int32_t>> last_frame;
     bool key_frame_ok = false;
@@ -1384,8 +1437,16 @@ struct Codec {
         std::vector<std::vector<uint8_t>> chunks(n_slices);
         bool fail = false;
 
+        if (stats_mode && slice_stats.empty()) {
+            slice_stats.resize(slices.size());
+            for (auto& st : slice_stats)
+                st.init(p.context_counts[p.context_model]);
+        }
+        if (keyframe) gob_count++;
+
         auto encode_one = [&](int si) {
             SliceState& ss = slices[si];
+            ss.stats = stats_mode ? &slice_stats[si] : nullptr;
             ss.coding_mode = 0;
             Rect r = slice_rect(p, si);
             if (p.version > 3 && p.colorspace == 1) {
@@ -1642,6 +1703,91 @@ struct Codec {
     }
 };
 
+// ---------------------------------------------------------------------------
+// 2-pass optimization (pass-2 open time): state-table sort and best-initial-
+// state search (ffv1enc.c:sort_stt / find_best_state semantics)
+// ---------------------------------------------------------------------------
+
+static double cost_bits(uint64_t n0, uint64_t n1, int st) {
+    return n0 * -std::log2((256.0 - st) / 256.0) +
+           n1 * -std::log2(st / 256.0);
+}
+
+static int twopass_sort_stt(uint64_t rc_stat[256][2], uint8_t stt[256]) {
+    int changed_any = 0;
+    int changed;
+    do {
+        changed = 0;
+        for (int i = 12; i < 244; i++) {
+            for (int i2 = i + 1; i2 < 245 && i2 < i + 4; i2++) {
+                auto cost2 = [&](int oldv, int newv) {
+                    return cost_bits(rc_stat[oldv][0], rc_stat[oldv][1], newv)
+                         + cost_bits(rc_stat[256 - oldv][0],
+                                     rc_stat[256 - oldv][1], 256 - newv);
+                };
+                double size0 = cost2(i, i) + cost2(i2, i2);
+                double sizeX = cost2(i, i2) + cost2(i2, i);
+                if (size0 - sizeX > size0 * 1e-14 && i != 128 && i2 != 128) {
+                    std::swap(stt[i], stt[i2]);
+                    std::swap(rc_stat[i][0], rc_stat[i2][0]);
+                    std::swap(rc_stat[i][1], rc_stat[i2][1]);
+                    if (i != 256 - i2) {
+                        std::swap(stt[256 - i], stt[256 - i2]);
+                        std::swap(rc_stat[256 - i][0], rc_stat[256 - i2][0]);
+                        std::swap(rc_stat[256 - i][1], rc_stat[256 - i2][1]);
+                    }
+                    for (int j = 1; j < 256; j++) {
+                        if (stt[j] == i) stt[j] = (uint8_t)i2;
+                        else if (stt[j] == i2) stt[j] = (uint8_t)i;
+                        if (i != 256 - i2) {
+                            if (stt[256 - j] == 256 - i)
+                                stt[256 - j] = (uint8_t)(256 - i2);
+                            else if (stt[256 - j] == 256 - i2)
+                                stt[256 - j] = (uint8_t)(256 - i);
+                        }
+                    }
+                    changed = changed_any = 1;
+                }
+            }
+        }
+    } while (changed);
+    return changed_any;
+}
+
+static void twopass_find_best_state(uint8_t best_state[256][256],
+                                    const uint8_t one_state[256]) {
+    double l2tab[256];
+    for (int i = 1; i < 256; i++) l2tab[i] = std::log2(i / 256.0);
+    for (int i = 0; i < 256; i++) {
+        double best_len[256];
+        const double pr = i / 256.0;
+        for (int j = 0; j < 256; j++) best_len[j] = 1 << 30;
+        for (int j = std::max(i - 10, 1); j < std::min(i + 11, 256); j++) {
+            if (!one_state[j]) continue;
+            double occ[256] = {0};
+            double len = 0;
+            occ[j] = 1.0;
+            for (int k = 0; k < 256; k++) {
+                double newocc[256] = {0};
+                for (int m = 1; m < 256; m++)
+                    if (occ[m])
+                        len -= occ[m] * (pr * l2tab[m]
+                                         + (1 - pr) * l2tab[256 - m]);
+                if (len < best_len[k]) {
+                    best_len[k] = len;
+                    best_state[i][k] = (uint8_t)j;
+                }
+                for (int m = 1; m < 256; m++)
+                    if (occ[m]) {
+                        newocc[one_state[m]] += occ[m] * pr;
+                        newocc[256 - one_state[256 - m]] += occ[m] * (1 - pr);
+                    }
+                std::memcpy(occ, newocc, sizeof(occ));
+            }
+        }
+    }
+}
+
 }  // namespace f2t
 
 // ---------------------------------------------------------------------------
@@ -1727,6 +1873,35 @@ int64_t ffv1rt_encode_sym(void* h, const int32_t* const* planes,
     ctx->sym_ctx.clear();
     ctx->sym_diff.clear();
     return r;
+}
+
+int32_t ffv1rt_sort_stt(uint64_t* rc_stat, uint8_t* stt) {
+    return f2t::twopass_sort_stt(
+        reinterpret_cast<uint64_t(*)[2]>(rc_stat), stt);
+}
+
+void ffv1rt_find_best_state(const uint8_t* one_state, uint8_t* best) {
+    f2t::twopass_find_best_state(
+        reinterpret_cast<uint8_t(*)[256]>(best), one_state);
+}
+
+void ffv1rt_set_stats_mode(void* h, int32_t enable) {
+    static_cast<f2t::Codec*>(h)->stats_mode = enable != 0;
+}
+
+// Sums per-slice pass-1 tallies.  rc_stat: 256*2 u64; rc_stat2:
+// nctx*32*2 u64 for the active quant table.  Returns gob count.
+int32_t ffv1rt_get_stats(void* h, uint64_t* rc_stat, uint64_t* rc_stat2,
+                         int64_t rc_stat2_len) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    std::memset(rc_stat, 0, 256 * 2 * sizeof(uint64_t));
+    std::memset(rc_stat2, 0, rc_stat2_len * sizeof(uint64_t));
+    for (auto& st : ctx->slice_stats) {
+        for (size_t i = 0; i < st.stat.size(); i++) rc_stat[i] += st.stat[i];
+        size_t n = std::min((size_t)rc_stat2_len, st.stat2.size());
+        for (size_t i = 0; i < n; i++) rc_stat2[i] += st.stat2[i];
+    }
+    return ctx->gob_count;
 }
 
 int32_t ffv1rt_slice_damaged(void* h, int32_t si) {
