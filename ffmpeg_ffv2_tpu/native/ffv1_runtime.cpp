@@ -289,6 +289,40 @@ static int get_symbol(RangeDec& c, uint8_t* st, bool is_signed) {
 }
 
 // ---------------------------------------------------------------------------
+// Op planner for the on-device arithmetic coder: expands a slice's entire
+// range-coded stream (headers + per-pixel symbols) into (state_value, bit)
+// pairs with the context adaptation already applied.  The TPU lane kernel
+// (ffv1/tpu_coder.py) then runs the pure low/range arithmetic for all
+// slices in parallel; outputs are byte-exact with RangeEnc.
+// ---------------------------------------------------------------------------
+
+struct OpSink {
+    std::vector<uint8_t> sv;
+    std::vector<uint8_t> bit;
+    void put(uint8_t* state, int b, const RacTables& tab) {
+        sv.push_back(*state);
+        bit.push_back((uint8_t)b);
+        *state = b ? tab.one[*state] : tab.zero[*state];
+    }
+};
+
+static void plan_symbol(OpSink& o, uint8_t* st, int v, bool is_signed,
+                        const RacTables& tab) {
+    if (v) {
+        const unsigned a = v < 0 ? -(unsigned)v : (unsigned)v;
+        const int e = ilog2(a);
+        o.put(st + 0, 0, tab);
+        for (int i = 0; i < e; i++) o.put(st + 1 + std::min(i, 9), 1, tab);
+        o.put(st + 1 + std::min(e, 9), 0, tab);
+        for (int i = e - 1; i >= 0; i--)
+            o.put(st + 22 + std::min(i, 9), (a >> i) & 1, tab);
+        if (is_signed) o.put(st + 11 + std::min(e, 10), v < 0, tab);
+    } else {
+        o.put(st + 0, 1, tab);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Bit IO (MSB-first) + Golomb-Rice
 // ---------------------------------------------------------------------------
 
@@ -1213,6 +1247,7 @@ struct Codec {
     bool stats_mode = false;
     int gob_count = 0;
     std::vector<RcStats> slice_stats;
+    std::vector<OpSink> planned;
     // previous decoded frame for concealment
     std::vector<std::vector<int32_t>> last_frame;
     bool key_frame_ok = false;
@@ -1530,6 +1565,166 @@ struct Codec {
         return pos;
     }
 
+    // ---- op planning (range-coder modes; see tpu_coder.py) ----
+
+    // plans the ops for every slice of one frame; slice 0 includes the
+    // keyframe bit (+ v<2 header).  Uses and ADVANCES the persistent
+    // adaptive states exactly like a real encode.
+    bool plan_frame_ops(const int32_t* const* planes, int keyframe,
+                        std::vector<OpSink>& sinks) {
+        if (p.ac == AC_GOLOMB) return false;
+        const RacTables& tab = p.ac == AC_RANGE_CUSTOM ? custom_tab
+                                                       : default_tables();
+        const RacTables& def = default_tables();
+        if (keyframe) gob_count++;
+        sinks.assign(slices.size(), OpSink());
+        for (int si = 0; si < (int)slices.size(); si++) {
+            OpSink& o = sinks[si];
+            SliceState& ss = slices[si];
+            ss.coding_mode = 0;
+            Rect r = slice_rect(p, si);
+            if (p.version > 3 && p.colorspace == 1) {
+                auto pv = slice_views(r, planes, nullptr);
+                choose_rct(ss, pv);
+            } else {
+                ss.rct_by = ss.rct_ry = 1;
+            }
+            if (si == 0) {
+                uint8_t key_state = 128;
+                // keyframe bit + v<2 header use the default tables
+                o.put(&key_state, keyframe ? 1 : 0, def);
+                if (keyframe && p.version < 2) {
+                    // v<2 header ops (default tables)
+                    PlanEnc pe{&o, &def};
+                    write_v01_header_ops(pe);
+                }
+            }
+            if (keyframe) ss.clear(p);
+            if (p.version > 2) {
+                // slice header ops with the slice tables
+                uint8_t st[kContextSize];
+                std::memset(st, 128, sizeof(st));
+                plan_slice_header(o, ss, r, st, tab);
+            }
+            // plane data
+            auto pv = slice_views(r, planes, nullptr);
+            bool ok = true;
+            if (p.colorspace == 0) {
+                ok = plan_plane<int16_t>(o, ss, pv[0], 0, tab);
+                if (ok && p.chroma_planes)
+                    ok = plan_plane<int16_t>(o, ss, pv[1], 1, tab) &&
+                         plan_plane<int16_t>(o, ss, pv[2], 1, tab);
+                if (ok && p.transparency)
+                    ok = plan_plane<int16_t>(o, ss, pv.back(), 2, tab);
+            } else if (p.use32bit) {
+                ok = plan_rgb<int32_t>(o, ss, pv.data(), (int)pv.size(), tab);
+            } else {
+                ok = plan_rgb<int16_t>(o, ss, pv.data(), (int)pv.size(), tab);
+            }
+            if (!ok) return false;
+            // terminator bit (version-1 termination, state 129)
+            uint8_t t129 = 129;
+            o.put(&t129, 0, tab);
+        }
+        return true;
+    }
+
+    struct PlanEnc {
+        OpSink* o;
+        const RacTables* tab;
+    };
+
+    void write_v01_header_ops(PlanEnc& pe) {
+        uint8_t st[kContextSize];
+        std::memset(st, 128, sizeof(st));
+        auto sym = [&](int v, bool sgn) {
+            plan_symbol(*pe.o, st, v, sgn, *pe.tab);
+        };
+        sym(p.version, false);
+        sym(p.ac, false);
+        if (p.ac == AC_RANGE_CUSTOM)
+            for (int i = 1; i < 256; i++)
+                sym(p.state_transition[i] - default_tables().one[i], true);
+        sym(p.colorspace, false);
+        if (p.version > 0) sym(p.bits, false);
+        pe.o->put(st, p.chroma_planes, *pe.tab);
+        sym(p.chroma_h_shift, false);
+        sym(p.chroma_v_shift, false);
+        pe.o->put(st, p.transparency, *pe.tab);
+        for (int t = 0; t < 5; t++) {
+            const int16_t* tabq = p.quant_tables[p.context_model][t];
+            uint8_t qst[kContextSize];
+            std::memset(qst, 128, sizeof(qst));
+            int last = 0;
+            for (int i = 1; i < 128; i++)
+                if (tabq[i] != tabq[i - 1]) {
+                    plan_symbol(*pe.o, qst, i - last - 1, false, *pe.tab);
+                    last = i;
+                }
+            plan_symbol(*pe.o, qst, 128 - last - 1, false, *pe.tab);
+        }
+    }
+
+    void plan_slice_header(OpSink& o, SliceState& ss, const Rect& r,
+                           uint8_t* st, const RacTables& tab) {
+        auto sym = [&](int v) { plan_symbol(o, st, v, false, tab); };
+        sym((r.x + 1) * p.num_h_slices / p.width);
+        sym((r.y + 1) * p.num_v_slices / p.height);
+        sym((r.w + 1) * p.num_h_slices / p.width - 1);
+        sym((r.h + 1) * p.num_v_slices / p.height - 1);
+        for (int j = 0; j < p.plane_count; j++) sym(ss.qt_index[j]);
+        sym(3);
+        sym(0);
+        sym(1);
+        if (p.version > 3) {
+            o.put(st, ss.coding_mode == 1, tab);
+            sym(ss.coding_mode);
+            if (ss.coding_mode != 1) {
+                sym(ss.rct_by);
+                sym(ss.rct_ry);
+            }
+        }
+    }
+
+    template <typename T>
+    bool plan_plane(OpSink& o, SliceState& ss, const PlaneView& pv,
+                    int plane_index, const RacTables& tab) {
+        LineCodec<T> lc(p, ss);
+        const int w = pv.w, h = pv.h;
+        const int ring = p.context_model ? 3 : 2;
+        RowRing<T> rb(w, ring);
+        ss.run_index = 0;
+        const int16_t(*qt)[256] = p.quant_tables[ss.qt_index[plane_index]];
+        uint8_t* states = ss.states[plane_index].data();
+        for (int y = 0; y < h; y++) {
+            T* cur = rb.row((h + 0 - y) % ring);
+            T* prev = rb.row((h + 1 - y) % ring);
+            T* prev2 = ring == 3 ? rb.row((h + 2 - y) % ring) : cur;
+            const int32_t* src = pv.src_row(y);
+            for (int x = 0; x < w; x++) cur[x] = (T)src[x];
+            cur[-1] = prev[0];
+            prev[w] = prev[w - 1];
+            for (int x = 0; x < w; x++) {
+                int context = lc.ctx5(qt, cur, prev, prev2, x);
+                int diff = cur[x] - lc.pred(cur, prev, x);
+                if (context < 0) { context = -context; diff = -diff; }
+                diff = fold(diff, p.bits);
+                plan_symbol(o, states + (size_t)context * kContextSize,
+                            diff, true, tab);
+            }
+        }
+        return true;
+    }
+
+    template <typename T>
+    bool plan_rgb(OpSink& o, SliceState& ss, const PlaneView* pv,
+                  int nplanes, const RacTables& tab) {
+        // RGB planning mirrors encode_rgb_t; omitted fast path -- use the
+        // host encoder for RGB until the RGB TPU pipeline lands.
+        (void)o; (void)ss; (void)pv; (void)nplanes; (void)tab;
+        return false;
+    }
+
     // ---- decode ----
 
     int decode_frame(const uint8_t* pkt, int64_t size,
@@ -1703,7 +1898,6 @@ struct Codec {
     }
 };
 
-// ---------------------------------------------------------------------------
 // 2-pass optimization (pass-2 open time): state-table sort and best-initial-
 // state search (ffv1enc.c:sort_stt / find_best_state semantics)
 // ---------------------------------------------------------------------------
@@ -1883,6 +2077,26 @@ int32_t ffv1rt_sort_stt(uint64_t* rc_stat, uint8_t* stt) {
 void ffv1rt_find_best_state(const uint8_t* one_state, uint8_t* best) {
     f2t::twopass_find_best_state(
         reinterpret_cast<uint8_t(*)[256]>(best), one_state);
+}
+
+// Plan ops for one frame; returns max op count over slices, or -1.
+int64_t ffv1rt_plan(void* h, const int32_t* const* planes, int keyframe) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (!ctx->plan_frame_ops(planes, keyframe, ctx->planned)) return -1;
+    int64_t mx = 0;
+    for (auto& o : ctx->planned) mx = std::max(mx, (int64_t)o.sv.size());
+    return mx;
+}
+
+int64_t ffv1rt_get_plan(void* h, int32_t si, uint8_t* sv, uint8_t* bit,
+                        int64_t cap) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (si < 0 || si >= (int32_t)ctx->planned.size()) return -1;
+    auto& o = ctx->planned[si];
+    int64_t n = std::min((int64_t)o.sv.size(), cap);
+    std::memcpy(sv, o.sv.data(), n);
+    std::memcpy(bit, o.bit.data(), n);
+    return (int64_t)o.sv.size();
 }
 
 void ffv1rt_set_stats_mode(void* h, int32_t enable) {

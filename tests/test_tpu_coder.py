@@ -1,0 +1,53 @@
+"""Lane-parallel device range coder must produce byte-identical packets."""
+
+import numpy as np
+import pytest
+
+from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config
+from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+from ffmpeg_ffv2_tpu.ffv1.tpu_coder import TPUCoderFFV1Encoder
+
+
+def _mk(seed, w, h):
+    r = np.random.RandomState(seed)
+    y = np.clip(((np.indices((h, w)).sum(0) * 3 + seed) % 256) // 8 * 8
+                + r.randint(0, 3, (h, w)), 0, 255)
+    return [y.astype(np.int64),
+            r.randint(0, 256, (h // 2, w // 2)).astype(np.int64),
+            r.randint(0, 256, (h // 2, w // 2)).astype(np.int64)]
+
+
+CASES = [
+    ("v3-range-custom", FFV1Config(slices=4, coder=2), "yuv420p"),
+    ("v3-range-default", FFV1Config(slices=4, coder=-2), "yuv420p"),
+    ("v1-range", FFV1Config(level=1, coder=2), "yuv420p"),
+    ("v0-range", FFV1Config(level=0, coder=2), "yuv420p"),
+    ("v3-16bit", FFV1Config(level=3, slices=4), "yuv444p16"),
+    ("v3-ctx1", FFV1Config(slices=4, context=1, coder=2), "yuv420p"),
+]
+
+
+@pytest.mark.parametrize("name,cfg,fmt", CASES, ids=[c[0] for c in CASES])
+def test_device_coder_matches_host(name, cfg, fmt):
+    w, h = 96, 64
+    dev = TPUCoderFFV1Encoder(w, h, fmt, cfg)
+    host = NativeFFV1Codec(dev.p)
+    dec = NativeFFV1Codec(dev.p)
+    for t in range(3):
+        if fmt == "yuv444p16":
+            r = np.random.RandomState(t)
+            f = [r.randint(0, 65536, (h, w)).astype(np.int64)
+                 for _ in range(3)]
+        else:
+            f = _mk(100 + t, w, h)
+        key = t % 12 == 0
+        a = dev.encode(f, key)
+        assert a == host.encode(f, key), f"frame {t}"
+        outs = dec.decode(a)
+        for x, y in zip(f, outs):
+            assert np.array_equal(x, y)
+
+
+def test_device_coder_rejects_golomb():
+    with pytest.raises(NotImplementedError):
+        TPUCoderFFV1Encoder(64, 48, "yuv420p", FFV1Config(slices=4))
