@@ -1,1 +1,2 @@
 from .avi import AviReader, AviWriter
+from .rawvideo import RawVideoReader, RawVideoWriter

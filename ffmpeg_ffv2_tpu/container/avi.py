@@ -67,6 +67,8 @@ class AviReader:
                     self._parse_movi(body + 4, body + size)
                 else:
                     self._walk(body + 4, body + size)
+            elif fourcc == b"idx1":
+                self._parse_idx1(body, body + size)
             off = body + size + (size & 1)
 
     def _parse_strl(self, off: int, end: int, st: AviStream):
@@ -110,6 +112,31 @@ class AviReader:
                         self.streams.append(AviStream())
                     self.streams[sid].packets.append(d[body:body + size])
             off = body + size + (size & 1)
+
+    def _parse_idx1(self, off: int, end: int):
+        d = self.data
+        counts = {}
+        while off + 16 <= end:
+            tag = d[off:off + 4]
+            flags = _u32(d, off + 4)
+            try:
+                sid = int(tag[0:2])
+            except ValueError:
+                sid = -1
+            if 0 <= sid < len(self.streams):
+                self.streams[sid].keyflags.append(bool(flags & 0x10))
+            off += 16
+
+    def keyframe_before(self, idx: int, stream: int = 0) -> int:
+        """Index of the nearest keyframe at or before packet ``idx``
+        (seek support; mirrors the idx1-driven seek of the reference's
+        AVI demuxer used by fate-seek)."""
+        st = self.streams[stream]
+        flags = st.keyflags or [True] * len(st.packets)
+        idx = max(0, min(idx, len(st.packets) - 1))
+        while idx > 0 and not flags[idx]:
+            idx -= 1
+        return idx
 
     @property
     def video(self) -> AviStream:
