@@ -340,11 +340,16 @@ def encode_rgb(ss: SliceState, c, pb, planes: list[np.ndarray], bits: int):
     rows = [[_Row(w, wb) for _ in range(ring)] for _ in range(4)]
     ss.run_index = 0
 
+    # planar 9..14-bit RGB without alpha: the reference reads G<->B swapped
+    # (ffv1enc_template.c:170-172); mirror for bit-exactness
+    swap = (p.colorspace == 1 and not p.use32bit and not p.transparency
+            and p.bits > 8)
+    gi, bi = (1, 0) if swap else (0, 1)
     for y in range(h):
         sample = [[rows[pl][(h + i - y) % ring] for i in range(ring)]
                   for pl in range(4)]
-        g_row = planes[0][y].astype(np.int64)
-        b_row = planes[1][y].astype(np.int64)
+        g_row = planes[gi][y].astype(np.int64)
+        b_row = planes[bi][y].astype(np.int64)
         r_row = planes[2][y].astype(np.int64)
         a_row = planes[3][y].astype(np.int64) if p.transparency else None
 
@@ -407,6 +412,9 @@ def decode_rgb(ss: SliceState, c, gb, out_planes: list[np.ndarray],
                 eff_bits = bits + (1 if ss.slice_coding_mode != 1 else 0)
             decode_line(ss, c, gb, qt, states, vlcs, w, cur, prev, eff_bits)
 
+        swap = (p.colorspace == 1 and not p.use32bit and not p.transparency
+                and p.bits > 8)
+        go, bo = (1, 0) if swap else (0, 1)
         cur_of = lambda pl: rows[pl][(y + 1) % 2]
         for x in range(w):
             g = cur_of(0)[x]
@@ -419,8 +427,8 @@ def decode_rgb(ss: SliceState, c, gb, out_planes: list[np.ndarray],
                 g -= (b * ss.slice_rct_by + r * ss.slice_rct_ry) >> 2
                 b += g
                 r += g
-            out_planes[0][y, x] = g
-            out_planes[1][y, x] = b
+            out_planes[go][y, x] = g
+            out_planes[bo][y, x] = b
             out_planes[2][y, x] = r
             if p.transparency:
                 out_planes[3][y, x] = a

@@ -527,9 +527,18 @@ struct Params {
 };
 
 enum { AC_GOLOMB = 0, AC_RANGE_DEFAULT = 1, AC_RANGE_CUSTOM = 2 };
+
+// Planar RGB at 9..14 bpc without alpha: the reference reads the G plane
+// as 'b' and the B plane as 'g' (ffv1enc_template.c:170-172 else-branch;
+// the decoder mirrors it), so the coded-g stream carries plane-1 content.
+static inline bool gb_swapped(const struct Params& p);
 enum { kContextSize = 32 };
 
 struct Rect { int x, y, w, h; };
+
+static inline bool gb_swapped(const Params& p) {
+    return p.colorspace == 1 && !p.use32bit && !p.transparency && p.bits > 8;
+}
 
 static Rect slice_rect(const Params& p, int i) {
     int sx = i % p.num_h_slices, sy = i / p.num_h_slices;
@@ -972,8 +981,9 @@ static bool encode_rgb_t(const Params& p, SliceState& ss, RangeEnc& c,
             prev2[pl] = ring == 3 ? rings[pl]->row((h + 2 - y) % ring)
                                   : cur[pl];
         }
-        const int32_t* gs = pv[0].src_row(y);
-        const int32_t* bs = pv[1].src_row(y);
+        const bool swap = gb_swapped(p);
+        const int32_t* gs = pv[swap ? 1 : 0].src_row(y);
+        const int32_t* bs = pv[swap ? 0 : 1].src_row(y);
         const int32_t* rs = pv[2].src_row(y);
         const int32_t* as = nplanes > 3 ? pv[3].src_row(y) : nullptr;
         for (int x = 0; x < w; x++) {
@@ -1047,8 +1057,9 @@ static bool decode_rgb_t(const Params& p, SliceState& ss, RangeDec& c,
                                 eff_bits))
                 return false;
         }
-        int32_t* gd = pv[0].dst_row(y);
-        int32_t* bd = pv[1].dst_row(y);
+        const bool swap = gb_swapped(p);
+        int32_t* gd = pv[swap ? 1 : 0].dst_row(y);
+        int32_t* bd = pv[swap ? 0 : 1].dst_row(y);
         int32_t* rd = pv[2].dst_row(y);
         int32_t* ad = nplanes > 3 ? pv[3].dst_row(y) : nullptr;
         for (int x = 0; x < w; x++) {
