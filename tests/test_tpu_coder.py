@@ -51,3 +51,28 @@ def test_device_coder_matches_host(name, cfg, fmt):
 def test_device_coder_rejects_golomb():
     with pytest.raises(NotImplementedError):
         TPUCoderFFV1Encoder(64, 48, "yuv420p", FFV1Config(slices=4))
+
+
+def test_pallas_kernel_matches_scan():
+    """The Mosaic kernel must reproduce the scan formulation exactly."""
+    from ffmpeg_ffv2_tpu.ffv1.tpu_coder import (rac_scan_lanes, MODE_OP,
+                                                MODE_FLUSH1, MODE_FLUSH2)
+    from ffmpeg_ffv2_tpu.ffv1.pallas_coder import (rac_pallas_lanes,
+                                                   pad_for_pallas)
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    steps, lanes = 700, 5
+    sv = rng.randint(1, 256, (steps, lanes)).astype(np.int32)
+    bit = rng.randint(0, 2, (steps, lanes)).astype(np.int32)
+    mode = np.full((steps, lanes), MODE_OP, np.int32)
+    for l in range(lanes):
+        L = 600 + l * 15
+        mode[L:, l] = 0
+        mode[L, l] = MODE_FLUSH1
+        mode[L + 1, l] = MODE_FLUSH2
+    ref = [np.asarray(a) for a in rac_scan_lanes(
+        jnp.asarray(sv), jnp.asarray(bit), jnp.asarray(mode))]
+    got = [np.asarray(a) for a in rac_pallas_lanes(
+        *pad_for_pallas(sv, bit, mode), interpret=True)]
+    for r, g in zip(ref, got):
+        assert np.array_equal(r, g[:steps, :lanes])
