@@ -147,60 +147,73 @@ def test_fate_golden_converted(ref_name, pix, conv, back):
 
 
 RGB_CASES = [
-    ("vsynth1-ffv1-v3-bgr0", "bgr0", "bgr0"),
-    ("vsynth1-ffv1-v3-rgb48", "rgb48le", "rgb48"),
+    ("vsynth1-ffv1-v3-bgr0", "bgr0"),
+    ("vsynth1-ffv1-v3-rgb48", "rgb48"),
+    ("vsynth2-ffv1-v3-bgr0", "bgr0"),
 ]
 
 
-@pytest.mark.parametrize("ref_name,ffpix,ourpix", RGB_CASES,
+@pytest.mark.parametrize("ref_name,ourpix", RGB_CASES,
                          ids=[c[0] for c in RGB_CASES])
-def test_fate_golden_rgb(ref_name, ffpix, ourpix, tmp_path):
-    """RGB variants: input conversion (yuv420p -> RGB via swscale tables) is
-    produced by the reference tool; coding + container must hit the FATE
-    golden md5 and round-trip losslessly."""
-    from util import have_ref_ffmpeg, REF_FFMPEG
-    if not have_ref_ffmpeg():
-        pytest.skip("reference ffmpeg needed for the RGB table conversion")
-    enc_md5, enc_size, dec_md5, _ = parse_golden(ref_name)
-    import subprocess
-    src_yuv = tmp_path / "src.yuv"
-    with open(src_yuv, "wb") as f:
-        for fr in source_frames("vsynth1"):
-            for pl in fr:
-                f.write(pl.astype(np.uint8).tobytes())
-    conv_raw = tmp_path / "conv.raw"
-    subprocess.run(
-        [REF_FFMPEG, "-y", "-loglevel", "error", "-f", "rawvideo",
-         "-pix_fmt", "yuv420p", "-s", "352x288", "-i", str(src_yuv),
-         "-pix_fmt", ffpix, "-sws_flags", "neighbor+bitexact",
-         "-sws_flags", "+accurate_rnd+bitexact", "-strict", "-2",
-         "-f", "rawvideo", str(conv_raw)], check=True)
+def test_fate_golden_rgb(ref_name, ourpix):
+    """RGB variants fully end-to-end with OUR swscale-equivalent
+    conversions: yuv420p source -> RGB (table/formula models) -> FFV1 ->
+    decode -> RGB -> yuv420p; all four FATE transcript values must match
+    (container md5, size, decoded-raw md5, tiny_psnr line)."""
+    from ffmpeg_ffv2_tpu.convert import (yuv420p_to_bgr0, yuv420p_to_rgb48,
+                                         bgr0_to_yuv420p, gbrp16_to_yuv420p,
+                                         unpack_bgr0, unpack_rgb48,
+                                         pack_bgr0, pack_rgb48)
+    from ffmpeg_ffv2_tpu.utils.psnr import tiny_psnr_line
+    with open(os.path.join(VSYNTH_REF, ref_name)) as f:
+        lines = f.read().strip().splitlines()
+    enc_md5 = lines[0].split()[0]
+    enc_size = int(lines[1].split()[0])
+    dec_md5 = lines[2].split()[0]
+    psnr_golden = lines[3]
 
-    data = conv_raw.read_bytes()
+    src = ref_name.split("-")[0]
+    frames = source_frames(src)
     w, h = 352, 288
-    if ourpix == "bgr0":
-        fsz = w * h * 4
-        unpack = lambda b: unpack_bgr0(b, w, h)
-    else:
-        fsz = w * h * 6
-        unpack = lambda b: unpack_rgb48(b, w, h)
-    frames = [unpack(data[i * fsz:(i + 1) * fsz])
-              for i in range(len(data) // fsz)]
 
     cfg = FFV1Config(level=3)
     p = params_from_config(cfg, ourpix, w, h)
     enc = NativeFFV1Codec(p)
     avi = AviWriter(w, h, "FFV1", (25, 1), H.write_extradata(p))
+    rgb_frames = []
     for t, planes in enumerate(frames):
+        if ourpix == "bgr0":
+            img = yuv420p_to_bgr0(*planes)
+            gbr = unpack_bgr0(img.tobytes(), w, h)
+        else:
+            img = yuv420p_to_rgb48(*planes)
+            gbr = unpack_rgb48(img.astype("<u2").tobytes(), w, h)
+        rgb_frames.append(img)
         key = t % 12 == 0
-        avi.write_packet(enc.encode([pl.astype(np.int32) for pl in planes],
+        avi.write_packet(enc.encode([pl.astype(np.int32) for pl in gbr],
                                     key), key)
-    out = avi.getvalue()
-    assert len(out) == enc_size
-    assert hashlib.md5(out).hexdigest() == enc_md5
+    data = avi.getvalue()
+    assert len(data) == enc_size
+    assert hashlib.md5(data).hexdigest() == enc_md5
 
+    # decode, convert back to yuv420p, compare the FATE decode transcript
     dec = NativeFFV1Codec(p)
-    for t, pkt in enumerate(AviReader(out).video.packets):
+    raw = hashlib.md5()
+    dec_raw = bytearray()
+    for t, pkt in enumerate(AviReader(data).video.packets):
         outs = dec.decode(pkt)
-        for pl, srcpl in zip(outs, frames[t]):
-            assert np.array_equal(pl, srcpl), f"not lossless frame {t}"
+        if ourpix == "bgr0":
+            img = np.frombuffer(pack_bgr0(outs), np.uint8).reshape(h, w, 4)
+            back = bgr0_to_yuv420p(img)
+        else:
+            # the decoder's native rgb48 output picture is planar gbrp16
+            back = gbrp16_to_yuv420p(*outs)
+        for pl in back:
+            b = pl.astype(np.uint8).tobytes()
+            raw.update(b)
+            dec_raw.extend(b)
+    assert raw.hexdigest() == dec_md5, "decoded raw md5 mismatch"
+
+    src_raw = b"".join(pl.astype(np.uint8).tobytes()
+                       for f in frames for pl in f)
+    assert tiny_psnr_line(src_raw, bytes(dec_raw)) == psnr_golden
