@@ -154,8 +154,13 @@ def cmd_encode(args):
         fourcc = "FFV1"
     elif args.c == "ffv2":
         from ..ffv2 import FFV2Encoder, FFV2Config
-        enc = FFV2Encoder(w, h, args.pix_fmt,
-                          FFV2Config(qp=args.global_quality))
+        if args.backend == "python":
+            enc = FFV2Encoder(w, h, args.pix_fmt,
+                              FFV2Config(qp=args.global_quality))
+        else:
+            from ..ffv2.native import NativeFFV2Encoder
+            enc = NativeFFV2Encoder(w, h, args.pix_fmt,
+                                    FFV2Config(qp=args.global_quality))
         fourcc = "FFV2"
     else:
         sys.exit(f"unknown codec {args.c}")
@@ -193,8 +198,8 @@ def cmd_decode(args):
                 frames.append(dec.decode(pkt))
             bits = dec.p.bits
     elif fourcc == "FFV2":
-        from ..ffv2 import FFV2Decoder
-        dec = FFV2Decoder(st.width, st.height)
+        from ..ffv2.native import NativeFFV2Decoder
+        dec = NativeFFV2Decoder(st.width, st.height)
         for pkt in st.packets:
             frames.append(dec.decode(pkt))
         bits = dec.fmt.bits

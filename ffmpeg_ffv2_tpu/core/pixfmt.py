@@ -65,7 +65,8 @@ for b in (8, 9, 10, 16):
         name = f"yuva{sub}p" if b == 8 else f"yuva{sub}p{b}"
         _add(name, 0, b, True, hs, vs, True)
 
-# --- planar RGB (GBR plane order in FFV1 coding) ---
+# --- planar RGB (GBR plane order in FFV1 coding; 8-bit gbrp used by FFV2) ---
+_add("gbrp", 1, 8, True, 0, 0, False)
 for b in (9, 10, 12, 14, 16):
     _add(f"gbrp{b}", 1, b, True, 0, 0, False)
 for b in (10, 12, 16):

@@ -1,0 +1,247 @@
+"""Native (C++) FFV2 sessions: TPU batched transforms + host entropy.
+
+Packets are byte-identical to the pure-Python codec (ffv2/codec.py); the
+Daala EC, PVQ and band loops run in native code, the transforms and lapped
+filters run batched (jax on TPU, numpy fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..core.pixfmt import get_pix_fmt, PixelFormat
+from ..ffv1.native import get_lib
+from . import dsp
+from .codec import (FFV2Config, PIXFMT_WIRE_IDS, PIXFMT_WIRE_NB,
+                    _WIRE_TO_NAME, SPLIT_END)
+from .entropy import cdf_triangle, _log2p1, UINT_BITS
+from .tables import DAALA_CDF_TAB
+
+SB = dsp.SB_SIZE
+
+
+def _bind(lib):
+    if getattr(lib, "_ffv2_bound", False):
+        return lib
+    lib.ffv2rt_enc_create.restype = ctypes.c_void_p
+    lib.ffv2rt_enc_create.argtypes = [ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.c_int]
+    lib.ffv2rt_enc_destroy.argtypes = [ctypes.c_void_p]
+    lib.ffv2rt_enc_golomb.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.ffv2rt_enc_bits.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                    ctypes.c_int]
+    lib.ffv2rt_enc_cdf_q15.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_uint16),
+                                       ctypes.c_int]
+    lib.ffv2rt_enc_sb.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ffv2rt_enc_done.restype = ctypes.c_int64
+    lib.ffv2rt_enc_done.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.c_int64]
+    lib.ffv2rt_dec_create.restype = ctypes.c_void_p
+    lib.ffv2rt_dec_create.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                      ctypes.c_int64]
+    lib.ffv2rt_dec_destroy.argtypes = [ctypes.c_void_p]
+    lib.ffv2rt_dec_set_qp.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.c_int]
+    lib.ffv2rt_dec_golomb.restype = ctypes.c_uint32
+    lib.ffv2rt_dec_golomb.argtypes = [ctypes.c_void_p]
+    lib.ffv2rt_dec_bits.restype = ctypes.c_uint32
+    lib.ffv2rt_dec_bits.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ffv2rt_dec_cdf_q15.restype = ctypes.c_int
+    lib.ffv2rt_dec_cdf_q15.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_uint16),
+                                       ctypes.c_int]
+    lib.ffv2rt_dec_sb.restype = ctypes.c_int
+    lib.ffv2rt_dec_sb.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.c_int, ctypes.c_int]
+    lib._ffv2_bound = True
+    return lib
+
+
+def _enc_uint(lib, h, val, num):
+    """ff_daalaent_encode_uint via the Q15 triangle CDFs."""
+    if num > (1 << UINT_BITS):
+        bit = _log2p1(num - 1) - UINT_BITS
+        num -= 1
+        adr = (num >> bit) + 1
+        cdf = np.ascontiguousarray(cdf_triangle(adr), dtype=np.uint16)
+        lib.ffv2rt_enc_cdf_q15(
+            h, val >> bit,
+            cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), adr)
+        lib.ffv2rt_enc_bits(h, val & ((1 << bit) - 1), bit)
+    else:
+        cdf = np.ascontiguousarray(cdf_triangle(num), dtype=np.uint16)
+        lib.ffv2rt_enc_cdf_q15(
+            h, val, cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), num)
+
+
+def _dec_uint(lib, h, num):
+    if num > (1 << UINT_BITS):
+        num -= 1
+        bit = _log2p1(num) - UINT_BITS
+        adr = (num >> bit) + 1
+        cdf = np.ascontiguousarray(cdf_triangle(adr), dtype=np.uint16)
+        t = lib.ffv2rt_dec_cdf_q15(
+            h, cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), adr)
+        t = (t << bit) | lib.ffv2rt_dec_bits(h, bit)
+        return min(t, num)
+    cdf = np.ascontiguousarray(cdf_triangle(num), dtype=np.uint16)
+    return lib.ffv2rt_dec_cdf_q15(
+        h, cdf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), num)
+
+
+def _batched_tx(blocks, inverse):
+    try:
+        from .tpu import fwd_tx_batch, inv_tx_batch
+        return (inv_tx_batch if inverse else fwd_tx_batch)(blocks)
+    except Exception:
+        fn = dsp.inv_tx_2d if inverse else dsp.fwd_tx_2d
+        return np.stack([fn(b) for b in blocks])
+
+
+class NativeFFV2Encoder:
+    def __init__(self, width: int, height: int, pix_fmt: str,
+                 config: FFV2Config | None = None):
+        self.cfg = config or FFV2Config()
+        if pix_fmt not in PIXFMT_WIRE_IDS:
+            raise ValueError(f"unsupported ffv2 pix_fmt {pix_fmt}")
+        self.fmt = get_pix_fmt(pix_fmt)
+        self.pix_fmt_name = pix_fmt
+        self.width = width
+        self.height = height
+        self.planes = self.fmt.nb_planes
+        self.lib = _bind(get_lib())
+
+    def encode(self, planes) -> bytes:
+        qp = self.cfg.qp
+        lib = self.lib
+        bands = np.asarray(dsp.band_starts(SB), dtype=np.int32)
+        h = lib.ffv2rt_enc_create(
+            qp, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(bands))
+        try:
+            depth = self.fmt.bits
+            coeff = [dsp.lap_filter_frame_ver(
+                        dsp.lap_filter_frame_hor(
+                            _pad(dsp.ref_to_coeff(np.asarray(p), depth)),
+                            SB, 32, True),
+                        SB, 32, True)
+                     for p in planes]
+            _enc_uint(lib, h, PIXFMT_WIRE_IDS[self.pix_fmt_name],
+                      PIXFMT_WIRE_NB)
+            lib.ffv2rt_enc_golomb(h, qp)
+
+            ph, pw = coeff[0].shape
+            nby, nbx = ph // SB, pw // SB
+            # batched transforms + scan for ALL blocks of the frame
+            blocks = np.stack([
+                coeff[p][y0:y0 + SB, x0:x0 + SB]
+                for y0 in range(0, ph, SB)
+                for x0 in range(0, pw, SB)
+                for p in range(self.planes)]).astype(np.int32)
+            txed = _batched_tx(blocks, inverse=False)
+            order = dsp.scan_order(SB)
+            streams = txed.reshape(len(txed), -1)[:, order].astype(np.int64)
+            streams = np.ascontiguousarray(streams)
+            k = 0
+            for sb in range(nby * nbx):
+                sub = streams[k:k + self.planes]
+                lib.ffv2rt_enc_sb(
+                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self.planes, SB, dsp.TX_DCT)
+                k += self.planes
+            cap = 1 << 24
+            out = np.empty(cap, dtype=np.uint8)
+            n = lib.ffv2rt_enc_done(
+                h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            if n < 0:
+                raise RuntimeError("ffv2 native encode overflow")
+            return out[:n].tobytes()
+        finally:
+            lib.ffv2rt_enc_destroy(h)
+
+
+def _pad(plane):
+    h, w = plane.shape
+    ph = -(-h // SB) * SB
+    pw = -(-w // SB) * SB
+    out = np.zeros((ph, pw), dtype=np.int32)
+    out[:h, :w] = plane
+    return out
+
+
+class NativeFFV2Decoder:
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.fmt: PixelFormat | None = None
+        self.lib = _bind(get_lib())
+
+    def decode(self, packet: bytes):
+        lib = self.lib
+        buf = np.frombuffer(packet, dtype=np.uint8)
+        h = lib.ffv2rt_dec_create(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(packet))
+        try:
+            wire = _dec_uint(lib, h, PIXFMT_WIRE_NB)
+            name = _WIRE_TO_NAME.get(int(wire))
+            if name is None:
+                raise ValueError(f"unknown pix_fmt id {wire} in stream")
+            self.fmt = get_pix_fmt(name)
+            qp = int(lib.ffv2rt_dec_golomb(h))
+            bands = np.asarray(dsp.band_starts(SB), dtype=np.int32)
+            lib.ffv2rt_dec_set_qp(
+                h, qp, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(bands))
+
+            nplanes = self.fmt.nb_planes
+            depth = self.fmt.bits
+            ph = -(-self.height // SB) * SB
+            pw = -(-self.width // SB) * SB
+            nsb = (ph // SB) * (pw // SB)
+            streams = np.zeros((nsb * nplanes, SB * SB), dtype=np.int64)
+            tx_types = []
+            for sb in range(nsb):
+                sub = np.ascontiguousarray(
+                    streams[sb * nplanes:(sb + 1) * nplanes])
+                t = lib.ffv2rt_dec_sb(
+                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    nplanes, SB)
+                if t < 0:
+                    raise NotImplementedError("split blocks not supported")
+                streams[sb * nplanes:(sb + 1) * nplanes] = sub
+                tx_types.append(t)
+
+            order = dsp.scan_order(SB)
+            blocks = np.zeros((len(streams), SB * SB), dtype=np.int64)
+            blocks[:, order] = streams
+            blocks = blocks.reshape(-1, SB, SB).astype(np.int32)
+            inv = _batched_tx(blocks, inverse=True)
+
+            coeff = [np.zeros((ph, pw), dtype=np.int64)
+                     for _ in range(nplanes)]
+            k = 0
+            for y0 in range(0, ph, SB):
+                for x0 in range(0, pw, SB):
+                    for p in range(nplanes):
+                        coeff[p][y0:y0 + SB, x0:x0 + SB] = inv[k]
+                        k += 1
+            out = []
+            mx = (1 << depth) - 1
+            for p in range(nplanes):
+                c = dsp.lap_filter_frame_hor(
+                    dsp.lap_filter_frame_ver(coeff[p], SB, 32, False),
+                    SB, 32, False)
+                pix = dsp.coeff_to_ref(c.astype(np.int32), depth)
+                out.append(np.clip(pix[:self.height, :self.width], 0, mx))
+            return out
+        finally:
+            lib.ffv2rt_dec_destroy(h)

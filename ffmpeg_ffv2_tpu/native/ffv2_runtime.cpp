@@ -1,0 +1,558 @@
+// ffv2_runtime.cpp — host-side FFV2 entropy coding and PVQ.
+//
+// The Daala entropy coder and the per-band PVQ quantization loops are the
+// serial part of FFV2; this runtime executes them natively while the block
+// transforms run batched on the TPU (ffv2/tpu.py).  Bit-exact with the
+// Python implementation (ffv2/entropy.py, ffv2/codec.py), which is itself
+// validated symbol-exact against the reference C coder.
+//
+// Coding layout per superblock (ffv2enc.c:encode_block_rec semantics with
+// the flat-leaf RDO): split symbol (adaptive CDF), 4 tx-type bits, then per
+// plane: DC exp-golomb + sign, and per frequency band: companded gain
+// (integer cbrt), PVQ pulse magnitudes via the adaptive (qp+1)-ary CDF,
+// sign bits.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace f2v {
+
+// ---------------------------------------------------------------------------
+// Daala entropy coder (daala_entropy.c semantics)
+// ---------------------------------------------------------------------------
+
+static inline int log2p1(uint64_t x) {
+    return x ? 64 - __builtin_clzll(x) : 0;
+}
+static inline uint64_t sat(uint64_t a, uint64_t b) {
+    return a - std::min(a, b);
+}
+
+struct DaalaEnc {
+    uint64_t low = 0;
+    uint32_t range = 0x8000;
+    int count = -9;
+    std::vector<uint16_t> precarry;
+    uint64_t end_window = 0;
+    int nend_bits = 0;
+    std::vector<uint8_t> rawbytes;  // reversed order
+
+    void renorm(uint64_t l, uint32_t r) {
+        int c = count;
+        int d = 16 - log2p1(r);
+        int s = c + d;
+        if (s >= 0) {
+            c += 16;
+            uint64_t m = (1ull << c) - 1;
+            if (s >= 8) {
+                precarry.push_back((uint16_t)(l >> c));
+                l &= m;
+                c -= 8;
+                m >>= 8;
+            }
+            precarry.push_back((uint16_t)(l >> c));
+            s = c + d - 24;
+            l &= m;
+        }
+        low = l << d;
+        range = r << d;
+        count = s;
+    }
+
+    void encode_bool(int val, uint32_t p, uint32_t p_tot) {
+        uint64_t l = low;
+        uint32_t r = range;
+        int s = (r - p_tot) >= p_tot;
+        p_tot <<= s;
+        p <<= s;
+        uint32_t d = r - p_tot;
+        uint32_t g = sat(2ull * d, p_tot);
+        uint32_t v = p + std::min(p, g) + std::min((uint32_t)(sat(p, g) >> 1), d);
+        if (val) l += v;
+        renorm(l, val ? r - v : v);
+    }
+
+    void encode_cdf(int sidx, const uint16_t* cdf, int nsyms, bool q15) {
+        uint32_t fl = sidx > 0 ? cdf[sidx - 1] : 0;
+        uint32_t fh = cdf[sidx];
+        uint32_t ft;
+        if (q15) {
+            ft = 32768;
+        } else {
+            ft = cdf[nsyms - 1];
+            int scale = 15 - log2p1(ft - 1);
+            fl <<= scale;
+            fh <<= scale;
+            ft <<= scale;
+        }
+        uint64_t l = low;
+        uint32_t r = range;
+        int scale2 = (r - ft) >= ft;
+        ft <<= scale2;
+        fl <<= scale2;
+        fh <<= scale2;
+        uint32_t d = r - ft;
+        uint32_t g = sat(2ull * d, ft);
+        uint32_t u = fl + std::min(fl, g) + std::min((uint32_t)(sat(fl, g) >> 1), d);
+        uint32_t v = fh + std::min(fh, g) + std::min((uint32_t)(sat(fh, g) >> 1), d);
+        renorm(l + u, v - u);
+    }
+
+    void encode_bits(uint32_t val, int n) {
+        if (nend_bits + n > 64) {
+            while (nend_bits >= 8) {
+                rawbytes.push_back((uint8_t)end_window);
+                end_window >>= 8;
+                nend_bits -= 8;
+            }
+        }
+        end_window |= (uint64_t)val << nend_bits;
+        nend_bits += n;
+    }
+
+    void encode_golomb(uint32_t val) {
+        val += 1;
+        if (val != 1) {
+            uint32_t topbit = 1, maxval = 1;
+            while (val > maxval) {
+                topbit <<= 1;
+                maxval = (maxval << 1) | 1;
+            }
+            for (int i = log2p1(topbit) - 2; i >= 0; i--)
+                encode_bits(((val >> i) & 1) << 1, 2);
+        }
+        encode_bits(1, 1);
+    }
+
+    std::vector<uint8_t> done() {
+        uint64_t l = low;
+        uint32_t r = range;
+        int c = count;
+        int s = 9;
+        uint64_t m = 0x7FFF;
+        uint64_t e = (l + m) & ~m;
+        while ((e | m) >= l + r) {
+            s++;
+            m >>= 1;
+            e = (l + m) & ~m;
+        }
+        s += c;
+        std::vector<uint16_t> pc = precarry;
+        if (s > 0) {
+            uint64_t n = (1ull << (c + 16)) - 1;
+            do {
+                pc.push_back((uint16_t)(e >> (c + 16)));
+                e &= n;
+                s -= 8;
+                c -= 8;
+                n >>= 8;
+            } while (s > 0);
+        }
+        std::vector<uint8_t> raw = rawbytes;
+        uint64_t ew = end_window;
+        int nend = nend_bits;
+        int sneg = -s;
+        while (nend > sneg) {
+            raw.push_back((uint8_t)ew);
+            ew >>= 8;
+            nend -= 8;
+        }
+        std::vector<uint8_t> out(pc.size());
+        uint32_t carry = 0;
+        for (int i = (int)pc.size() - 1; i >= 0; i--) {
+            uint32_t v = pc[i] + carry;
+            out[i] = (uint8_t)v;
+            carry = v >> 8;
+        }
+        size_t front = out.size();
+        out.insert(out.end(), raw.rbegin(), raw.rend());
+        if (nend > 0 && front > 0)
+            out[front - 1] |= (uint8_t)ew;
+        return out;
+    }
+};
+
+struct DaalaDec {
+    const uint8_t* data;
+    size_t size;
+    size_t pos = 0;
+    size_t rpos;
+    uint64_t diff = 0;
+    uint32_t range = 0x8000;
+    int count = -15;
+    uint64_t end_window = 0;
+    int end_window_size = 0;
+
+    void init(const uint8_t* d, size_t n) {
+        data = d;
+        size = n;
+        rpos = n;
+        fillup();
+    }
+
+    void fillup() {
+        int i = 64 - 9 - (count + 15);
+        while (i >= 0 && pos < size) {
+            diff |= (uint64_t)data[pos++] << i;
+            count += 8;
+            i -= 8;
+        }
+        if (pos >= size) count = 16384;
+    }
+
+    void renorm(uint64_t d, uint32_t r) {
+        int i = 16 - log2p1(r);
+        diff = d << i;
+        range = r << i;
+        if ((count -= i) < 0) fillup();
+    }
+
+    int decode_bool(uint32_t p, uint32_t p_tot) {
+        uint32_t dr = range - p_tot;
+        int t = dr >= p_tot;
+        p <<= t;
+        p_tot <<= t;
+        uint32_t g = sat(2ull * dr, p_tot);
+        uint32_t v = p + std::min(p, g) + std::min((uint32_t)(sat(p, g) >> 1), dr);
+        uint64_t split = (uint64_t)v << (64 - 16);
+        int rval = diff >= split;
+        renorm(diff - (rval ? split : 0), rval ? range - v : v);
+        return rval;
+    }
+
+    int decode_cdf(const uint16_t* cdf, int cdf_size, bool q15) {
+        uint32_t rng = range;
+        uint64_t d64 = diff;
+        const uint64_t cval = d64 >> (64 - 16);
+        uint32_t p_tot, d;
+        int scale;
+        if (q15) {
+            d = rng - 32768;
+            p_tot = 32768;
+            scale = 0;
+        } else {
+            p_tot = cdf[cdf_size - 1];
+            scale = 15 - log2p1(p_tot - 1);
+            p_tot <<= scale;
+            if (rng - p_tot >= p_tot) {
+                p_tot <<= 1;
+                scale++;
+            }
+            d = rng - p_tot;
+        }
+        uint32_t g = sat(2ull * d, p_tot);
+        // third bound computed SIGNED: when g > 2*cval+1 it goes negative
+        // and must lose the max() to cval>>1 (>= 0), not wrap to huge
+        int64_t t3 = 2 * (int64_t)cval + 1 - (int64_t)g;
+        int64_t lim = std::max(std::max((int64_t)(cval >> 1),
+                                        (int64_t)cval - (int64_t)d),
+                               t3 >= 0 ? t3 / 3 : int64_t(-1)) >> scale;
+        int ret = 0;
+        uint64_t u = 0, v = cdf[0];
+        while (ret < cdf_size - 1 && (int64_t)v <= lim) {
+            u = v;
+            v = cdf[++ret];
+        }
+        u <<= scale;
+        v <<= scale;
+        u = u + std::min(u, (uint64_t)g) + std::min(sat(u, g) >> 1, (uint64_t)d);
+        v = v + std::min(v, (uint64_t)g) + std::min(sat(v, g) >> 1, (uint64_t)d);
+        renorm(d64 - (u << (64 - 16)), (uint32_t)(v - u));
+        return ret;
+    }
+
+    uint32_t decode_bits(int num) {
+        int avail = end_window_size;
+        uint64_t win = end_window;
+        if (avail < num) {
+            while (avail <= 64 - 8) {
+                if (rpos <= 0) {
+                    avail = 16384;
+                    break;
+                }
+                win |= (uint64_t)data[--rpos] << avail;
+                avail += 8;
+            }
+        }
+        uint32_t ret = win & ((1u << num) - 1);
+        end_window = win >> num;
+        end_window_size = avail - num;
+        return ret;
+    }
+
+    uint32_t decode_golomb() {
+        uint32_t coeff = 1;
+        while (!decode_bits(1))
+            coeff = (coeff << 1) | decode_bits(1);
+        return coeff - 1;
+    }
+};
+
+// adaptive CDF bank
+struct CDF {
+    std::vector<uint16_t> cdf;
+    int x, y, inc;
+
+    void init(int x_, int y_, int inc_, int inc_shift) {
+        x = x_;
+        y = y_;
+        inc = inc_;
+        int inc_g = inc >> inc_shift;
+        cdf.assign((size_t)x * y, 0);
+        for (int i = 0; i < x; i++)
+            for (int j = 0; j < y; j++)
+                cdf[(size_t)i * y + j] = inc_g * j + inc_g;
+    }
+
+    uint16_t* row(int off) { return cdf.data() + (size_t)off * y; }
+
+    void adapt(int off, int val, int n) {
+        uint16_t* c = row(off);
+        if (c[n - 1] + inc > 32767)
+            for (int i = 0; i < n; i++)
+                c[i] = (c[i] >> 1) + i + 1;
+        for (int i = val; i < n; i++) c[i] += inc;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// PVQ + integer gain math (ffv2/pvq.py semantics)
+// ---------------------------------------------------------------------------
+
+static int64_t isqrt64(uint64_t v) {
+    if (!v) return 0;
+    uint64_t r = (uint64_t)std::sqrt((double)v);
+    while (r * r > v) r--;
+    while ((r + 1) * (r + 1) <= v) r++;
+    return (int64_t)r;
+}
+
+static int64_t icbrt64(uint64_t v) {
+    if (!v) return 0;
+    uint64_t r = (uint64_t)std::llround(std::cbrt((double)v));
+    while (r * r * r > v) r--;
+    while ((r + 1) * (r + 1) * (r + 1) <= v) r++;
+    return (int64_t)r;
+}
+
+// greedy pulse search; float64 scores with first-max argmax, matching the
+// numpy implementation exactly
+static void pvq_search(const int64_t* x, int n, int k, int64_t* y) {
+    std::vector<int64_t> ax(n);
+    bool any = false;
+    for (int i = 0; i < n; i++) {
+        ax[i] = std::llabs(x[i]);
+        any |= ax[i] != 0;
+        y[i] = 0;
+    }
+    if (k <= 0 || !any) return;
+    int64_t xy = 0, yy = 0;
+    for (int p = 0; p < k; p++) {
+        int best = 0;
+        double best_score = -1.0;
+        for (int i = 0; i < n; i++) {
+            double nxy = (double)(xy + ax[i]);
+            double nyy = (double)(yy + 2 * y[i] + 1);
+            double score = nxy * nxy / nyy;
+            if (score > best_score) {
+                best_score = score;
+                best = i;
+            }
+        }
+        y[best] += 1;
+        xy += ax[best];
+        yy += 2 * y[best] - 1;
+    }
+    for (int i = 0; i < n; i++)
+        if (x[i] < 0) y[i] = -y[i];
+}
+
+static void band_reconstruct(const int64_t* pulses, int n, int64_t cg,
+                             int64_t* out) {
+    int64_t cnt = 0;
+    for (int i = 0; i < n; i++) cnt += pulses[i] * pulses[i];
+    if (!cnt || !cg) {
+        std::memset(out, 0, n * sizeof(int64_t));
+        return;
+    }
+    uint64_t c3 = (uint64_t)cg * cg * cg;
+    for (int i = 0; i < n; i++) {
+        uint64_t num = (uint64_t)(pulses[i] * pulses[i]) * c3 / (uint64_t)cnt;
+        int64_t mag = isqrt64(num);
+        out[i] = pulses[i] < 0 ? -mag : mag;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Frame-level coding sessions
+// ---------------------------------------------------------------------------
+
+struct Ffv2Enc {
+    DaalaEnc ent;
+    CDF subdiv;
+    CDF pulse;
+    int qp = 0;
+    std::vector<int> band_starts;   // per 64x64 block, ends with 4095
+
+    void init(int qp_, const int32_t* bands, int n_bands) {
+        qp = qp_;
+        subdiv.init(1, 4, 128, 2);
+        pulse.init(13, qp + 1, 64, 6);
+        band_starts.assign(bands, bands + n_bands);
+    }
+
+    void quant_block(const int64_t* stream, int n) {
+        int64_t dc = stream[0];
+        ent.encode_golomb((uint32_t)std::llabs(dc));
+        if (dc) ent.encode_bits(dc < 0, 1);
+        const int64_t* ac = stream + 1;
+        std::vector<int64_t> pulses(4096);
+        for (size_t bi = 0; bi + 1 < band_starts.size(); bi++) {
+            int lo = band_starts[bi], hi = band_starts[bi + 1];
+            int len = hi - lo;
+            uint64_t igain = 0;
+            for (int j = 0; j < len; j++)
+                igain += (uint64_t)(ac[lo + j] * ac[lo + j]);
+            int64_t cg = icbrt64(igain);
+            ent.encode_golomb((uint32_t)cg);
+            pvq_search(ac + lo, len, qp, pulses.data());
+            int pcnt = 0;
+            for (int j = 0; j < len; j++) {
+                if (pcnt >= qp) break;
+                int av = (int)std::llabs(pulses[j]);
+                ent.encode_cdf(av, pulse.row(bi % 13), qp + 1, false);
+                pulse.adapt(bi % 13, av, qp + 1);
+                if (av) ent.encode_bits(pulses[j] < 0, 1);
+                pcnt += av;
+            }
+        }
+    }
+};
+
+struct Ffv2Dec {
+    DaalaDec ent;
+    CDF subdiv;
+    CDF pulse;
+    int qp = 0;
+    std::vector<int> band_starts;
+};
+
+}  // namespace f2v
+
+extern "C" {
+
+void* ffv2rt_enc_create(int qp, const int32_t* band_starts, int n_bands) {
+    auto* e = new f2v::Ffv2Enc();
+    e->init(qp, band_starts, n_bands);
+    return e;
+}
+
+void ffv2rt_enc_destroy(void* h) { delete static_cast<f2v::Ffv2Enc*>(h); }
+
+void ffv2rt_enc_uint(void* h, uint32_t val, uint32_t num_unused) {
+    // frame header uints are coded by the Python layer via triangle CDFs;
+    // this entry remains for the golomb values
+    (void)h; (void)val; (void)num_unused;
+}
+
+void ffv2rt_enc_golomb(void* h, uint32_t val) {
+    static_cast<f2v::Ffv2Enc*>(h)->ent.encode_golomb(val);
+}
+
+void ffv2rt_enc_bits(void* h, uint32_t val, int n) {
+    static_cast<f2v::Ffv2Enc*>(h)->ent.encode_bits(val, n);
+}
+
+void ffv2rt_enc_cdf_q15(void* h, int s, const uint16_t* cdf, int nsyms) {
+    static_cast<f2v::Ffv2Enc*>(h)->ent.encode_cdf(s, cdf, nsyms, true);
+}
+
+// code one superblock: split END + tx bits + per-plane quantized streams
+void ffv2rt_enc_sb(void* h, const int64_t* streams, int n_planes, int n,
+                   int tx_type) {
+    auto* e = static_cast<f2v::Ffv2Enc*>(h);
+    e->ent.encode_cdf(0, e->subdiv.row(0), 4, false);
+    e->subdiv.adapt(0, 0, 4);
+    e->ent.encode_bits(tx_type, 4);
+    for (int p = 0; p < n_planes; p++)
+        e->quant_block(streams + (size_t)p * n * n, n);
+}
+
+int64_t ffv2rt_enc_done(void* h, uint8_t* out, int64_t cap) {
+    auto* e = static_cast<f2v::Ffv2Enc*>(h);
+    auto bytes = e->ent.done();
+    if ((int64_t)bytes.size() > cap) return -1;
+    std::memcpy(out, bytes.data(), bytes.size());
+    return (int64_t)bytes.size();
+}
+
+void* ffv2rt_dec_create(const uint8_t* data, int64_t size) {
+    auto* d = new f2v::Ffv2Dec();
+    d->ent.init(data, (size_t)size);
+    d->subdiv.init(1, 4, 128, 2);
+    return d;
+}
+
+void ffv2rt_dec_destroy(void* h) { delete static_cast<f2v::Ffv2Dec*>(h); }
+
+void ffv2rt_dec_set_qp(void* h, int qp, const int32_t* band_starts,
+                       int n_bands) {
+    auto* d = static_cast<f2v::Ffv2Dec*>(h);
+    d->qp = qp;
+    d->pulse.init(13, qp + 1, 64, 6);
+    d->band_starts.assign(band_starts, band_starts + n_bands);
+}
+
+uint32_t ffv2rt_dec_golomb(void* h) {
+    return static_cast<f2v::Ffv2Dec*>(h)->ent.decode_golomb();
+}
+
+uint32_t ffv2rt_dec_bits(void* h, int n) {
+    return static_cast<f2v::Ffv2Dec*>(h)->ent.decode_bits(n);
+}
+
+int ffv2rt_dec_cdf_q15(void* h, const uint16_t* cdf, int nsyms) {
+    return static_cast<f2v::Ffv2Dec*>(h)->ent.decode_cdf(cdf, nsyms, true);
+}
+
+// decode one superblock into quantized streams; returns tx_type or -1
+int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
+    auto* d = static_cast<f2v::Ffv2Dec*>(h);
+    int split = d->ent.decode_cdf(d->subdiv.row(0), 4, false);
+    d->subdiv.adapt(0, split, 4);
+    if (split != 0) return -1;
+    int tx_type = d->ent.decode_bits(4);
+    std::vector<int64_t> pulses(4096);
+    for (int p = 0; p < n_planes; p++) {
+        int64_t* stream = streams + (size_t)p * n * n;
+        std::memset(stream, 0, (size_t)n * n * sizeof(int64_t));
+        int64_t dc = d->ent.decode_golomb();
+        if (dc && d->ent.decode_bits(1)) dc = -dc;
+        stream[0] = dc;
+        for (size_t bi = 0; bi + 1 < d->band_starts.size(); bi++) {
+            int lo = d->band_starts[bi], hi = d->band_starts[bi + 1];
+            int len = hi - lo;
+            int64_t cg = d->ent.decode_golomb();
+            std::fill(pulses.begin(), pulses.begin() + len, 0);
+            int pcnt = 0;
+            for (int j = 0; j < len; j++) {
+                if (pcnt >= d->qp) break;
+                int v = d->ent.decode_cdf(d->pulse.row(bi % 13), d->qp + 1,
+                                          false);
+                d->pulse.adapt(bi % 13, v, d->qp + 1);
+                int64_t sv = v;
+                if (v && d->ent.decode_bits(1)) sv = -sv;
+                pulses[j] = sv;
+                pcnt += v;
+            }
+            f2v::band_reconstruct(pulses.data(), len, cg, stream + 1 + lo);
+        }
+    }
+    return tx_type;
+}
+
+}  // extern "C"
