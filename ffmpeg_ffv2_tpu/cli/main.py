@@ -165,21 +165,33 @@ def cmd_encode(args):
     else:
         sys.exit(f"unknown codec {args.c}")
 
-    avi = AviWriter(w, h, fourcc, (25, 1), getattr(enc, "extradata", b""))
+    extradata = getattr(enc, "extradata", b"")
+    if args.output.lower().endswith((".mkv", ".webm")):
+        from ..container import MatroskaWriter
+        out = MatroskaWriter(w, h, "V_" + fourcc, (25, 1), extradata)
+    else:
+        out = AviWriter(w, h, fourcc, (25, 1), extradata)
     gop = args.g if args.c == "ffv1" else 1
+    nbytes = 0
     for t, planes in enumerate(frames):
         pkt = enc.encode(planes)
-        avi.write_packet(pkt, keyframe=(gop == 0 or t % gop == 0))
-    avi.save(args.output)
+        out.write_packet(pkt, keyframe=(gop == 0 or t % gop == 0))
+        nbytes += len(pkt)
+    out.save(args.output)
     print(f"encoded {len(frames)} frames -> {args.output} "
-          f"({sum(len(p) for p, _ in avi.packets)} packet bytes)")
+          f"({nbytes} packet bytes)")
 
 
 def cmd_decode(args):
     data = open(args.input, "rb").read()
-    avi = AviReader(data)
-    st = avi.video
-    fourcc = st.fcc_handler.strip("\x00 ").upper()
+    if data[:4] == b"\x1a\x45\xdf\xa3":           # EBML -> Matroska
+        from ..container import MatroskaReader
+        st = MatroskaReader(data).video
+        fourcc = st.codec_id[2:].strip("\x00 ").upper()
+    else:
+        avi = AviReader(data)
+        st = avi.video
+        fourcc = st.fcc_handler.strip("\x00 ").upper()
     frames = []
     if fourcc == "FFV1":
         from ..ffv1.params import FFV1Config

@@ -8,12 +8,14 @@ per-superblock recursive block coding (split tree via an adaptive CDF, a
 gain/shape per frequency band) -> Daala-EC packet.  Decode runs the exact
 mirror with the postfilter after reconstruction.
 
-Divergences from the reference (we own both ends; the reference has no
-FFV2 golden vectors): MXU-friendly matrix transforms (see dsp.py), exact
-integer gain math (see pvq.py), and a (qp+1)-ary pulse alphabet so a band
-that concentrates all K pulses in one coefficient is codable
-(the reference's n=qp alphabet cannot represent |pulse| == qp,
-ffv2enc.c:181 / ffv2dec.c:128).
+The bitstream syntax is reference-compatible: pulse magnitudes use the
+reference's qp-ary adaptive CDF (ffv2enc.c:181 / ffv2dec.c:128, alphabet
+size == qp), with the PVQ search capped at |pulse| <= qp-1 — the alphabet
+cannot represent |pulse| == qp, and the reference encoder's uncapped float
+search writing that symbol is an out-of-bounds CDF access.  Pixel
+reconstruction diverges deliberately: MXU-friendly matrix transforms (see
+dsp.py) and exact integer gain math (see pvq.py) replace the reference's
+float inverse path, so cross-decoded pixels are close but not identical.
 """
 
 from __future__ import annotations
@@ -63,8 +65,7 @@ def _subdiv_cdf() -> DaalaCDF:
 
 def _pulse_cdf(qp: int) -> DaalaCDF:
     # reference: daalaent_cdf_alloc(&test_cdf, 13, qp, 64, 0, 6, 0);
-    # ours uses a (qp+1)-ary alphabet (see module docstring)
-    return DaalaCDF(13, qp + 1, 64, 0, 6, 0)
+    return DaalaCDF(13, qp, 64, 0, 6, 0)
 
 
 def _quant_block(e: DaalaEncoder, cdf: DaalaCDF, stream: np.ndarray,
@@ -79,17 +80,21 @@ def _quant_block(e: DaalaEncoder, cdf: DaalaCDF, stream: np.ndarray,
     ac = stream[1:]
     for bi in range(len(starts) - 1):
         lo, hi = starts[bi], starts[bi + 1]
-        band = ac[lo:hi].astype(np.int64)
+        # the last band extends one phantom position past the real
+        # coefficients (ffv2_num_bands off-by-one) — treat it as 0
+        band = np.zeros(hi - lo, dtype=np.int64)
+        real = ac[lo:hi]
+        band[:len(real)] = real
         igain = int(np.sum(band * band))
         cg = icbrt(igain)
         e.encode_golomb(cg)
-        pulses = pvq_search(band, qp)
+        pulses = pvq_search(band, qp, max_abs=qp - 1)
         pcnt = 0
         for v in pulses:
             if pcnt >= qp:
                 break
             av = int(abs(v))
-            e.encode_cdf_adapt(cdf, av, bi % 13, qp + 1)
+            e.encode_cdf_adapt(cdf, av, bi % 13, qp)
             if av:
                 e.encode_bits(1 if v < 0 else 0, 1)
             pcnt += av
@@ -113,12 +118,14 @@ def _dequant_block(d: DaalaDecoder, cdf: DaalaCDF, qp: int, n: int) \
         for j in range(length):
             if pcnt >= qp:
                 break
-            v = d.decode_cdf_adapt(cdf, bi % 13, qp + 1)
+            v = d.decode_cdf_adapt(cdf, bi % 13, qp)
             if v:
                 v *= 1 - 2 * d.decode_bits(1)
             pulses[j] = v
             pcnt += abs(v)
-        stream[1 + lo:1 + hi] = band_reconstruct(pulses, cg)
+        recon = band_reconstruct(pulses, cg)
+        avail = len(stream) - 1 - lo      # phantom tail position dropped
+        stream[1 + lo:1 + hi] = recon[:avail]
     return stream
 
 

@@ -106,15 +106,21 @@ def inv_tx_2d(coeff: np.ndarray, tx_type: int = TX_DCT) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def scan_order(n: int) -> np.ndarray:
-    """Flat (y*n + x) scan positions for an n*n block: DC first, then the
-    per-level frequency layouts (ffv2.c:raster_to_coding walks levels
-    4x4, 8x8, ... concatenating each level's zigzag list)."""
-    order = [0]
+    """Flat (y*n + x) scan positions for an n*n block, reference-exact
+    (ffv2.c:raster_to_coding walks levels 4x4, 8x8, ... concatenating each
+    level's zigzag list).  Quirk kept for wire compatibility: the 4x4
+    layout (zigzags.h:layout_freq_4x4) declares zigzag_len 16 but lists
+    only 15 coordinates — C zero-fills the 16th to {0,0}, so the true DC
+    lands at scan index 15 and the wire "DC" (coding index 0) is the
+    coefficient at (0,1)."""
+    order = []
     for lvl in TX_SIZES:
         if lvl > n:
             break
         zz = ZIGZAG_LEVELS[lvl]
         order.extend(int(y) * n + int(x) for x, y in zz)
+        if lvl == 4:
+            order.append(0)  # zero-filled 16th entry -> {0, 0}
     out = np.array(order, dtype=np.int64)
     assert len(out) == n * n, (n, len(out))
     return out
@@ -123,13 +129,17 @@ def scan_order(n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def band_starts(n: int):
     """AC band boundaries for an n*n block (ffv2_num_bands): offsets into
-    the post-DC scan stream, terminated by n*n - 1."""
+    the post-DC scan stream.  The reference terminates with n*n (not
+    n*n-1), so the last band spans one phantom position past the real
+    coefficients — ffv2enc/ffv2dec read/write one element out of bounds
+    there; we code the position (parse compatibility) but treat it as 0 on
+    encode and discard it on decode."""
     starts = []
     for lvl in TX_SIZES:
         if lvl > n:
             break
         starts.extend(BAND_LEVELS[lvl])
-    starts.append(n * n - 1)
+    starts.append(n * n)
     return starts
 
 

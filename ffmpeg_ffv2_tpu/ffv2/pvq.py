@@ -39,13 +39,20 @@ def icbrt(v: int) -> int:
     return r
 
 
-def pvq_search(x: np.ndarray, k: int) -> np.ndarray:
+def pvq_search(x: np.ndarray, k: int, max_abs: int | None = None
+               ) -> np.ndarray:
     """Greedy PVQ: y in Z^n with sum|y| == k maximizing (x.y)^2 / (y.y).
 
     The search is an encoder-side *choice* — the decoder never re-runs it —
     so it only needs to be deterministic for the encoding run, not
     bit-reproducible across platforms.  Vectorized one-pulse-at-a-time
-    argmax (k iterations of VPU-friendly elementwise work)."""
+    argmax (k iterations of VPU-friendly elementwise work).
+
+    ``max_abs`` caps each |y_i|.  The wire format codes |y_i| with a
+    qp-ary CDF (ffv2enc.c:181, alphabet size == qp), so |y_i| == qp is not
+    representable; the reference's float search can still produce it (an
+    out-of-bounds CDF write in the reference encoder).  We cap at qp-1
+    instead, staying reference-decodable."""
     ax = np.abs(x.astype(np.int64))
     y = np.zeros(len(x), dtype=np.int64)
     if k <= 0 or not ax.any():
@@ -55,7 +62,12 @@ def pvq_search(x: np.ndarray, k: int) -> np.ndarray:
     for _ in range(k):
         nxy = (xy + ax).astype(np.float64)
         nyy = (yy + 2 * y + 1).astype(np.float64)
-        j = int(np.argmax(nxy * nxy / nyy))
+        score = nxy * nxy / nyy
+        if max_abs is not None:
+            score[y >= max_abs] = -1.0
+            if not (score >= 0).any():
+                break
+        j = int(np.argmax(score))
         y[j] += 1
         xy += int(ax[j])
         yy += 2 * int(y[j]) - 1

@@ -340,8 +340,10 @@ static int64_t icbrt64(uint64_t v) {
 }
 
 // greedy pulse search; float64 scores with first-max argmax, matching the
-// numpy implementation exactly
-static void pvq_search(const int64_t* x, int n, int k, int64_t* y) {
+// numpy implementation exactly.  max_abs caps each |y_i| (the wire's
+// qp-ary pulse alphabet cannot represent |pulse| == qp).
+static void pvq_search(const int64_t* x, int n, int k, int max_abs,
+                       int64_t* y) {
     std::vector<int64_t> ax(n);
     bool any = false;
     for (int i = 0; i < n; i++) {
@@ -352,9 +354,10 @@ static void pvq_search(const int64_t* x, int n, int k, int64_t* y) {
     if (k <= 0 || !any) return;
     int64_t xy = 0, yy = 0;
     for (int p = 0; p < k; p++) {
-        int best = 0;
+        int best = -1;
         double best_score = -1.0;
         for (int i = 0; i < n; i++) {
+            if (y[i] >= max_abs) continue;
             double nxy = (double)(xy + ax[i]);
             double nyy = (double)(yy + 2 * y[i] + 1);
             double score = nxy * nxy / nyy;
@@ -363,6 +366,7 @@ static void pvq_search(const int64_t* x, int n, int k, int64_t* y) {
                 best = i;
             }
         }
+        if (best < 0) break;   // every position at the cap
         y[best] += 1;
         xy += ax[best];
         yy += 2 * y[best] - 1;
@@ -401,7 +405,7 @@ struct Ffv2Enc {
     void init(int qp_, const int32_t* bands, int n_bands) {
         qp = qp_;
         subdiv.init(1, 4, 128, 2);
-        pulse.init(13, qp + 1, 64, 6);
+        pulse.init(13, qp, 64, 6);   // reference qp-ary alphabet
         band_starts.assign(bands, bands + n_bands);
     }
 
@@ -410,22 +414,28 @@ struct Ffv2Enc {
         ent.encode_golomb((uint32_t)std::llabs(dc));
         if (dc) ent.encode_bits(dc < 0, 1);
         const int64_t* ac = stream + 1;
-        std::vector<int64_t> pulses(4096);
+        const int n_ac = n * n - 1;
+        std::vector<int64_t> pulses(4200);
+        std::vector<int64_t> band(4200);
         for (size_t bi = 0; bi + 1 < band_starts.size(); bi++) {
             int lo = band_starts[bi], hi = band_starts[bi + 1];
             int len = hi - lo;
+            // last band has one phantom position past the real
+            // coefficients (ffv2_num_bands off-by-one); treat as 0
+            for (int j = 0; j < len; j++)
+                band[j] = (lo + j < n_ac) ? ac[lo + j] : 0;
             uint64_t igain = 0;
             for (int j = 0; j < len; j++)
-                igain += (uint64_t)(ac[lo + j] * ac[lo + j]);
+                igain += (uint64_t)(band[j] * band[j]);
             int64_t cg = icbrt64(igain);
             ent.encode_golomb((uint32_t)cg);
-            pvq_search(ac + lo, len, qp, pulses.data());
+            pvq_search(band.data(), len, qp, qp - 1, pulses.data());
             int pcnt = 0;
             for (int j = 0; j < len; j++) {
                 if (pcnt >= qp) break;
                 int av = (int)std::llabs(pulses[j]);
-                ent.encode_cdf(av, pulse.row(bi % 13), qp + 1, false);
-                pulse.adapt(bi % 13, av, qp + 1);
+                ent.encode_cdf(av, pulse.row(bi % 13), qp, false);
+                pulse.adapt(bi % 13, av, qp);
                 if (av) ent.encode_bits(pulses[j] < 0, 1);
                 pcnt += av;
             }
@@ -503,7 +513,7 @@ void ffv2rt_dec_set_qp(void* h, int qp, const int32_t* band_starts,
                        int n_bands) {
     auto* d = static_cast<f2v::Ffv2Dec*>(h);
     d->qp = qp;
-    d->pulse.init(13, qp + 1, 64, 6);
+    d->pulse.init(13, qp, 64, 6);
     d->band_starts.assign(band_starts, band_starts + n_bands);
 }
 
@@ -533,6 +543,8 @@ int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
         int64_t dc = d->ent.decode_golomb();
         if (dc && d->ent.decode_bits(1)) dc = -dc;
         stream[0] = dc;
+        const int n_ac = n * n - 1;
+        std::vector<int64_t> recon(4200);
         for (size_t bi = 0; bi + 1 < d->band_starts.size(); bi++) {
             int lo = d->band_starts[bi], hi = d->band_starts[bi + 1];
             int len = hi - lo;
@@ -541,15 +553,19 @@ int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
             int pcnt = 0;
             for (int j = 0; j < len; j++) {
                 if (pcnt >= d->qp) break;
-                int v = d->ent.decode_cdf(d->pulse.row(bi % 13), d->qp + 1,
+                int v = d->ent.decode_cdf(d->pulse.row(bi % 13), d->qp,
                                           false);
-                d->pulse.adapt(bi % 13, v, d->qp + 1);
+                d->pulse.adapt(bi % 13, v, d->qp);
                 int64_t sv = v;
                 if (v && d->ent.decode_bits(1)) sv = -sv;
                 pulses[j] = sv;
                 pcnt += v;
             }
-            f2v::band_reconstruct(pulses.data(), len, cg, stream + 1 + lo);
+            // phantom tail position (beyond n*n-1 real ACs) is parsed
+            // above but its reconstruction is dropped
+            f2v::band_reconstruct(pulses.data(), len, cg, recon.data());
+            for (int j = 0; j < len && lo + j < n_ac; j++)
+                stream[1 + lo + j] = recon[j];
         }
     }
     return tx_type;

@@ -139,9 +139,13 @@ def test_scan_order_permutation():
     for n in dsp.TX_SIZES:
         order = dsp.scan_order(n)
         assert sorted(order.tolist()) == list(range(n * n))
-        assert order[0] == 0  # DC first
+        # reference quirk: the true DC {0,0} is the zero-filled 16th entry
+        # of the 4x4 layout, so it scans at index 15 (zigzags.h)
+        assert order[15] == 0
         starts = dsp.band_starts(n)
-        assert starts[-1] == n * n - 1
+        # ffv2_num_bands terminates with n*n: one phantom position past
+        # the real AC coefficients
+        assert starts[-1] == n * n
         assert all(a < b for a, b in zip(starts, starts[1:]))
 
 
