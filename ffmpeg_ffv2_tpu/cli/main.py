@@ -1,8 +1,8 @@
 """ffv — the framework CLI (the fftools/ffmpeg counterpart).
 
 Subcommands:
-  encode     raw video -> FFV1/FFV2 in AVI
-  decode     AVI (FFV1/FFV2) -> raw video
+  encode     raw video -> FFV1/FFV2 in AVI/Matroska/NUT (by extension)
+  decode     AVI/Matroska/NUT (FFV1/FFV2) -> raw video (by magic)
   transcode  raw -> encode -> decode -> raw (sanity pipeline)
   psnr       compare two raw files (tiny_psnr-compatible line)
   info       show container/codec parameters
@@ -46,6 +46,12 @@ def _plane_shapes(fmt, w, h):
 
 def read_raw_frames(path, fmt, w, h):
     dt = np.dtype(np.uint8 if fmt.bits <= 8 else "<u2")
+    if fmt.name == "ya8":   # rawvideo ya8 is Y/A interleaved
+        data = open(path, "rb").read()
+        n = len(data) // (2 * w * h)
+        arr = np.frombuffer(data, np.uint8, 2 * w * h * n).reshape(
+            n, h, w, 2).astype(np.int64)
+        return [[arr[i, :, :, 0], arr[i, :, :, 1]] for i in range(n)]
     shapes = _plane_shapes(fmt, w, h)
     frame_bytes = sum(s[0] * s[1] for s in shapes) * dt.itemsize
     data = open(path, "rb").read()
@@ -63,10 +69,14 @@ def read_raw_frames(path, fmt, w, h):
     return frames
 
 
-def write_raw_frames(path, frames, bits):
+def write_raw_frames(path, frames, bits, fmt=None):
     dt = np.uint8 if bits <= 8 else np.dtype("<u2")
     with open(path, "wb") as f:
         for planes in frames:
+            if fmt is not None and fmt.name == "ya8":
+                ya = np.stack([np.asarray(p) for p in planes], axis=-1)
+                f.write(ya.astype(np.uint8).tobytes())
+                continue
             for p in planes:
                 f.write(np.asarray(p).astype(dt).tobytes())
 
@@ -169,6 +179,9 @@ def cmd_encode(args):
     if args.output.lower().endswith((".mkv", ".webm")):
         from ..container import MatroskaWriter
         out = MatroskaWriter(w, h, "V_" + fourcc, (25, 1), extradata)
+    elif args.output.lower().endswith(".nut"):
+        from ..container.nut import NutWriter
+        out = NutWriter(w, h, fourcc, (25, 1), extradata)
     else:
         out = AviWriter(w, h, fourcc, (25, 1), extradata)
     gop = args.g if args.c == "ffv1" else 1
@@ -188,6 +201,10 @@ def cmd_decode(args):
         from ..container import MatroskaReader
         st = MatroskaReader(data).video
         fourcc = st.codec_id[2:].strip("\x00 ").upper()
+    elif data[:4] == b"nut/":
+        from ..container.nut import NutReader
+        st = NutReader(data).video
+        fourcc = st.fourcc.strip("\x00 ").upper()
     else:
         avi = AviReader(data)
         st = avi.video
@@ -203,21 +220,21 @@ def cmd_decode(args):
             dec = NativeFFV1Codec(p)
             for pkt in st.packets:
                 frames.append(dec.decode(pkt))
-            bits = p.bits
+            bits, outfmt = p.bits, p.pix_fmt
         else:
             dec = FFV1Decoder(st.width, st.height)
             for pkt in st.packets:
                 frames.append(dec.decode(pkt))
-            bits = dec.p.bits
+            bits, outfmt = dec.p.bits, dec.p.pix_fmt
     elif fourcc == "FFV2":
         from ..ffv2.native import NativeFFV2Decoder
         dec = NativeFFV2Decoder(st.width, st.height)
         for pkt in st.packets:
             frames.append(dec.decode(pkt))
-        bits = dec.fmt.bits
+        bits, outfmt = dec.fmt.bits, dec.fmt
     else:
         sys.exit(f"unsupported fourcc {fourcc!r}")
-    write_raw_frames(args.output, frames, bits)
+    write_raw_frames(args.output, frames, bits, outfmt)
     print(f"decoded {len(frames)} frames -> {args.output}")
 
 
@@ -227,14 +244,37 @@ def cmd_psnr(args):
     print(tiny_psnr_line(a, b))
 
 
+def cmd_transcode(args):
+    """raw -> encode -> decode -> raw round trip (keeps the intermediate
+    container when -keep points at a path)."""
+    import tempfile, os
+    container = args.keep or os.path.join(
+        tempfile.mkdtemp(prefix="ffvtrans"), "t.avi")
+    d = dict(vars(args))
+    d["output"] = container
+    cmd_encode(argparse.Namespace(**d))
+    dec_args = argparse.Namespace(input=container, output=args.output)
+    cmd_decode(dec_args)
+    if not args.keep:
+        os.remove(container)
+        os.rmdir(os.path.dirname(container))
+
+
 def cmd_info(args):
     data = open(args.input, "rb").read()
-    avi = AviReader(data)
-    st = avi.video
-    print(f"stream: {st.fcc_type} handler={st.fcc_handler!r} "
-          f"{st.width}x{st.height} {st.rate}/{st.scale} fps "
-          f"packets={len(st.packets)} extradata={len(st.extradata)}B")
-    fourcc = st.fcc_handler.strip("\x00 ").upper()
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        from ..container import MatroskaReader
+        st = MatroskaReader(data).video
+        print(f"stream: mkv codec={st.codec_id} {st.width}x{st.height} "
+              f"packets={len(st.packets)} extradata={len(st.extradata)}B")
+        fourcc = st.codec_id[2:].strip("\x00 ").upper()
+    else:
+        avi = AviReader(data)
+        st = avi.video
+        print(f"stream: {st.fcc_type} handler={st.fcc_handler!r} "
+              f"{st.width}x{st.height} {st.rate}/{st.scale} fps "
+              f"packets={len(st.packets)} extradata={len(st.extradata)}B")
+        fourcc = st.fcc_handler.strip("\x00 ").upper()
     if fourcc == "FFV1" and st.extradata:
         from ..ffv1 import headers as Hdr
         p = Hdr.read_extradata(st.extradata, st.width, st.height)
@@ -278,6 +318,13 @@ def main(argv=None):
     pd.add_argument("-i", dest="input", required=True)
     pd.add_argument("-o", dest="output", required=True)
     pd.set_defaults(fn=cmd_decode)
+
+    pt = sub.add_parser("transcode")
+    add_common_enc(pt)
+    pt.add_argument("-o", dest="output", required=True)
+    pt.add_argument("-keep", default="",
+                    help="save the intermediate container here")
+    pt.set_defaults(fn=cmd_transcode)
 
     pp = sub.add_parser("psnr")
     pp.add_argument("file_a")

@@ -193,8 +193,28 @@ def read_extradata(extradata: bytes, width: int, height: int) -> FFV1Params:
         plane_count=plane_count, use32bit=(colorspace == 1 and bits >= 16),
         quant_tables=quant_tables, context_counts=context_counts,
         state_transition=state_transition, initial_states=initial_states,
-        pix_fmt=None,
+        pix_fmt=deduce_pix_fmt(colorspace, bits, chroma_planes,
+                               chroma_h_shift, chroma_v_shift, transparency),
     )
+
+
+def deduce_pix_fmt(colorspace, bits, chroma_planes, h_shift, v_shift,
+                   transparency):
+    """Named pixel format from coded header fields (the reverse of
+    ffv1dec.c:read_header's pix_fmt deduction switch)."""
+    from ..core.pixfmt import _FORMATS
+    for f in _FORMATS.values():
+        if f.packed:
+            continue
+        if (f.colorspace == colorspace and f.bits == bits
+                and f.transparency == transparency
+                and (colorspace != 0
+                     or (f.chroma_planes == chroma_planes
+                         and (not chroma_planes
+                              or (f.chroma_h_shift == h_shift
+                                  and f.chroma_v_shift == v_shift))))):
+            return f
+    return None
 
 
 def write_v01_header(c: RangeEncoder, p: FFV1Params):

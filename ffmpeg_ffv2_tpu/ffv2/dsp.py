@@ -245,13 +245,19 @@ def lap_postfilter(x: np.ndarray, size: int) -> np.ndarray:
 def lap_filter_frame_hor(plane: np.ndarray, sb: int, radius: int,
                          forward: bool) -> np.ndarray:
     """Apply the lapped filter across vertical SB boundaries (columns at
-    multiples of ``sb``, skipping the frame edge), full height."""
+    multiples of ``sb``, skipping the frame edge), full height.  All
+    boundary slabs are non-overlapping, so they batch into one vectorized
+    filter call over a (n_boundaries*H, radius) stack."""
     out = plane.astype(np.int64).copy()
     h = radius // 2
     fn = lap_prefilter if forward else lap_postfilter
-    for x0 in range(sb, plane.shape[1], sb):
-        seg = out[:, x0 - h:x0 + h]
-        out[:, x0 - h:x0 + h] = fn(seg, radius)
+    xs = range(sb, plane.shape[1], sb)
+    if not xs:
+        return out
+    slabs = np.stack([out[:, x0 - h:x0 + h] for x0 in xs])
+    filt = fn(slabs.reshape(-1, radius), radius).reshape(slabs.shape)
+    for i, x0 in enumerate(xs):
+        out[:, x0 - h:x0 + h] = filt[i]
     return out
 
 
@@ -260,7 +266,11 @@ def lap_filter_frame_ver(plane: np.ndarray, sb: int, radius: int,
     out = plane.astype(np.int64).copy()
     h = radius // 2
     fn = lap_prefilter if forward else lap_postfilter
-    for y0 in range(sb, plane.shape[0], sb):
-        seg = out[y0 - h:y0 + h, :].T
-        out[y0 - h:y0 + h, :] = fn(seg, radius).T
+    ys = range(sb, plane.shape[0], sb)
+    if not ys:
+        return out
+    slabs = np.stack([out[y0 - h:y0 + h, :].T for y0 in ys])
+    filt = fn(slabs.reshape(-1, radius), radius).reshape(slabs.shape)
+    for i, y0 in enumerate(ys):
+        out[y0 - h:y0 + h, :] = filt[i].T
     return out

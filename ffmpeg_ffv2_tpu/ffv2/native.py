@@ -39,6 +39,10 @@ def _bind(lib):
     lib.ffv2rt_enc_sb.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int64),
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ffv2rt_enc_frame.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
     lib.ffv2rt_enc_done.restype = ctypes.c_int64
     lib.ffv2rt_enc_done.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_uint8),
@@ -62,6 +66,11 @@ def _bind(lib):
     lib.ffv2rt_dec_sb.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int64),
                                   ctypes.c_int, ctypes.c_int]
+    lib.ffv2rt_dec_frame.restype = ctypes.c_int
+    lib.ffv2rt_dec_frame.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
     lib._ffv2_bound = True
     return lib
 
@@ -141,23 +150,19 @@ class NativeFFV2Encoder:
 
             ph, pw = coeff[0].shape
             nby, nbx = ph // SB, pw // SB
-            # batched transforms + scan for ALL blocks of the frame
-            blocks = np.stack([
-                coeff[p][y0:y0 + SB, x0:x0 + SB]
-                for y0 in range(0, ph, SB)
-                for x0 in range(0, pw, SB)
-                for p in range(self.planes)]).astype(np.int32)
+            # batched transforms + scan for ALL blocks of the frame:
+            # [P, ph, pw] -> [nby, nbx, P, SB, SB] via reshape/transpose
+            stacked = np.stack(coeff).reshape(self.planes, nby, SB, nbx, SB)
+            blocks = np.ascontiguousarray(
+                stacked.transpose(1, 3, 0, 2, 4)
+            ).reshape(-1, SB, SB).astype(np.int32)
             txed = _batched_tx(blocks, inverse=False)
             order = dsp.scan_order(SB)
             streams = txed.reshape(len(txed), -1)[:, order].astype(np.int64)
             streams = np.ascontiguousarray(streams)
-            k = 0
-            for sb in range(nby * nbx):
-                sub = streams[k:k + self.planes]
-                lib.ffv2rt_enc_sb(
-                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    self.planes, SB, dsp.TX_DCT)
-                k += self.planes
+            lib.ffv2rt_enc_frame(
+                h, streams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                nby * nbx, self.planes, SB, dsp.TX_DCT)
             cap = 1 << 24
             out = np.empty(cap, dtype=np.uint8)
             n = lib.ffv2rt_enc_done(
@@ -206,19 +211,14 @@ class NativeFFV2Decoder:
             depth = self.fmt.bits
             ph = -(-self.height // SB) * SB
             pw = -(-self.width // SB) * SB
-            nsb = (ph // SB) * (pw // SB)
+            nby, nbx = ph // SB, pw // SB
+            nsb = nby * nbx
             streams = np.zeros((nsb * nplanes, SB * SB), dtype=np.int64)
-            tx_types = []
-            for sb in range(nsb):
-                sub = np.ascontiguousarray(
-                    streams[sb * nplanes:(sb + 1) * nplanes])
-                t = lib.ffv2rt_dec_sb(
-                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    nplanes, SB)
-                if t < 0:
-                    raise NotImplementedError("split blocks not supported")
-                streams[sb * nplanes:(sb + 1) * nplanes] = sub
-                tx_types.append(t)
+            if lib.ffv2rt_dec_frame(
+                    h,
+                    streams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    nsb, nplanes, SB) < 0:
+                raise NotImplementedError("split blocks not supported")
 
             order = dsp.scan_order(SB)
             blocks = np.zeros((len(streams), SB * SB), dtype=np.int64)
@@ -226,14 +226,11 @@ class NativeFFV2Decoder:
             blocks = blocks.reshape(-1, SB, SB).astype(np.int32)
             inv = _batched_tx(blocks, inverse=True)
 
-            coeff = [np.zeros((ph, pw), dtype=np.int64)
-                     for _ in range(nplanes)]
-            k = 0
-            for y0 in range(0, ph, SB):
-                for x0 in range(0, pw, SB):
-                    for p in range(nplanes):
-                        coeff[p][y0:y0 + SB, x0:x0 + SB] = inv[k]
-                        k += 1
+            # [nby*nbx*P, SB, SB] -> per-plane [ph, pw]
+            planes5 = np.asarray(inv).reshape(nby, nbx, nplanes, SB, SB)
+            merged = planes5.transpose(2, 0, 3, 1, 4).reshape(
+                nplanes, ph, pw).astype(np.int64)
+            coeff = [merged[p] for p in range(nplanes)]
             out = []
             mx = (1 << depth) - 1
             for p in range(nplanes):

@@ -492,6 +492,15 @@ void ffv2rt_enc_sb(void* h, const int64_t* streams, int n_planes, int n,
         e->quant_block(streams + (size_t)p * n * n, n);
 }
 
+// code all superblocks of a frame in one call (streams row-major per SB,
+// planes innermost: [sb*n_planes + p][n*n])
+void ffv2rt_enc_frame(void* h, const int64_t* streams, int n_sb,
+                      int n_planes, int n, int tx_type) {
+    for (int sb = 0; sb < n_sb; sb++)
+        ffv2rt_enc_sb(h, streams + (size_t)sb * n_planes * n * n,
+                      n_planes, n, tx_type);
+}
+
 int64_t ffv2rt_enc_done(void* h, uint8_t* out, int64_t cap) {
     auto* e = static_cast<f2v::Ffv2Enc*>(h);
     auto bytes = e->ent.done();
@@ -569,6 +578,17 @@ int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
         }
     }
     return tx_type;
+}
+
+// decode all superblocks; returns 0 or -1 if any SB uses split blocks
+int ffv2rt_dec_frame(void* h, int64_t* streams, int n_sb, int n_planes,
+                     int n) {
+    for (int sb = 0; sb < n_sb; sb++) {
+        int t = ffv2rt_dec_sb(h, streams + (size_t)sb * n_planes * n * n,
+                              n_planes, n);
+        if (t < 0) return -1;
+    }
+    return 0;
 }
 
 }  // extern "C"

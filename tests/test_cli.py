@@ -64,6 +64,48 @@ def test_cli_ffv2_roundtrip(raw_clip):
     assert len(dec.read_bytes()) == w * h * n
 
 
+def test_cli_transcode_lossless(raw_clip):
+    td, path, (w, h, n) = raw_clip
+    out = td / "trans.yuv"
+    r = run_cli("transcode", "-i", str(path), "-s", f"{w}x{h}",
+                "-c", "ffv1", "-o", str(out))
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == path.read_bytes()
+
+
+def test_cli_mkv_roundtrip(raw_clip):
+    td, path, (w, h, n) = raw_clip
+    mkv = td / "out.mkv"
+    dec = td / "dec_mkv.yuv"
+    r = run_cli("encode", "-i", str(path), "-s", f"{w}x{h}",
+                "-c", "ffv1", "-level", "3", "-o", str(mkv))
+    assert r.returncode == 0, r.stderr
+    r = run_cli("decode", "-i", str(mkv), "-o", str(dec))
+    assert r.returncode == 0, r.stderr
+    assert dec.read_bytes() == path.read_bytes()
+    r = run_cli("info", "-i", str(mkv))
+    assert "V_FFV1" in r.stdout
+
+
+def test_cli_ya8_interleaved(raw_clip):
+    """ya8 rawvideo is Y/A-interleaved on disk; the CLI must repack."""
+    td, _, _ = raw_clip
+    rng = np.random.RandomState(5)
+    w, h = 32, 24
+    raw = td / "ya.raw"
+    raw.write_bytes(rng.randint(0, 256, (h, w, 2))
+                    .astype(np.uint8).tobytes())
+    avi = td / "ya.avi"
+    dec = td / "ya_dec.raw"
+    r = run_cli("encode", "-i", str(raw), "-s", f"{w}x{h}",
+                "-pix_fmt", "ya8", "-c", "ffv1", "-level", "3",
+                "-o", str(avi))
+    assert r.returncode == 0, r.stderr
+    r = run_cli("decode", "-i", str(avi), "-o", str(dec))
+    assert r.returncode == 0, r.stderr
+    assert dec.read_bytes() == raw.read_bytes()
+
+
 def test_cli_errors(raw_clip):
     td, path, (w, h, n) = raw_clip
     r = run_cli("encode", "-i", str(path), "-s", f"{w}x{h}",
