@@ -138,27 +138,35 @@ class NativeFFV2Encoder:
             len(bands))
         try:
             depth = self.fmt.bits
-            coeff = [dsp.lap_filter_frame_ver(
-                        dsp.lap_filter_frame_hor(
-                            _pad(dsp.ref_to_coeff(np.asarray(p), depth)),
-                            SB, 32, True),
-                        SB, 32, True)
-                     for p in planes]
             _enc_uint(lib, h, PIXFMT_WIRE_IDS[self.pix_fmt_name],
                       PIXFMT_WIRE_NB)
             lib.ffv2rt_enc_golomb(h, qp)
 
-            ph, pw = coeff[0].shape
+            padded = np.stack([_pad_px(np.asarray(p), depth)
+                               for p in planes])
+            ph, pw = padded.shape[1:]
             nby, nbx = ph // SB, pw // SB
-            # batched transforms + scan for ALL blocks of the frame:
-            # [P, ph, pw] -> [nby, nbx, P, SB, SB] via reshape/transpose
-            stacked = np.stack(coeff).reshape(self.planes, nby, SB, nbx, SB)
-            blocks = np.ascontiguousarray(
-                stacked.transpose(1, 3, 0, 2, 4)
-            ).reshape(-1, SB, SB).astype(np.int32)
-            txed = _batched_tx(blocks, inverse=False)
-            order = dsp.scan_order(SB)
-            streams = txed.reshape(len(txed), -1)[:, order].astype(np.int64)
+            try:
+                # one jitted program: Q12, lapped prefilter, block split,
+                # MXU transform, zigzag gather
+                from .tpu import encode_front
+                streams = encode_front(padded, depth).astype(np.int64)
+            except Exception:
+                coeff = [dsp.lap_filter_frame_ver(
+                            dsp.lap_filter_frame_hor(
+                                dsp.ref_to_coeff(padded[i], depth),
+                                SB, 32, True),
+                            SB, 32, True)
+                         for i in range(self.planes)]
+                stacked = np.stack(coeff).reshape(self.planes, nby, SB,
+                                                  nbx, SB)
+                blocks = np.ascontiguousarray(
+                    stacked.transpose(1, 3, 0, 2, 4)
+                ).reshape(-1, SB, SB).astype(np.int32)
+                txed = _batched_tx(blocks, inverse=False)
+                order = dsp.scan_order(SB)
+                streams = txed.reshape(len(txed), -1)[:, order]
+                streams = streams.astype(np.int64)
             streams = np.ascontiguousarray(streams)
             lib.ffv2rt_enc_frame(
                 h, streams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -179,6 +187,17 @@ def _pad(plane):
     ph = -(-h // SB) * SB
     pw = -(-w // SB) * SB
     out = np.zeros((ph, pw), dtype=np.int32)
+    out[:h, :w] = plane
+    return out
+
+
+def _pad_px(plane, depth):
+    """Pad a PIXEL plane to the SB grid with mid-grey (the pixel value
+    whose Q12 coefficient is 0 — matches padding the coeff plane with 0)."""
+    h, w = plane.shape
+    ph = -(-h // SB) * SB
+    pw = -(-w // SB) * SB
+    out = np.full((ph, pw), 1 << (depth - 1), dtype=np.int32)
     out[:h, :w] = plane
     return out
 
@@ -220,6 +239,16 @@ class NativeFFV2Decoder:
                     nsb, nplanes, SB) < 0:
                 raise NotImplementedError("split blocks not supported")
 
+            mx = (1 << depth) - 1
+            try:
+                from .tpu import decode_back
+                pix = decode_back(streams.astype(np.int32), depth,
+                                  nplanes, nby, nbx)
+                return [np.clip(pix[p, :self.height, :self.width]
+                                .astype(np.int64), 0, mx)
+                        for p in range(nplanes)]
+            except Exception:
+                pass
             order = dsp.scan_order(SB)
             blocks = np.zeros((len(streams), SB * SB), dtype=np.int64)
             blocks[:, order] = streams
@@ -232,7 +261,6 @@ class NativeFFV2Decoder:
                 nplanes, ph, pw).astype(np.int64)
             coeff = [merged[p] for p in range(nplanes)]
             out = []
-            mx = (1 << depth) - 1
             for p in range(nplanes):
                 c = dsp.lap_filter_frame_hor(
                     dsp.lap_filter_frame_ver(coeff[p], SB, 32, False),

@@ -56,3 +56,148 @@ def inv_tx_batch(coeffs: np.ndarray, tx_type: int = dsp.TX_DCT) -> np.ndarray:
     n = coeffs.shape[-1]
     return np.asarray(_tx_batch(jnp.asarray(coeffs, dtype=jnp.int32), n,
                                 tx_type, True))
+
+
+# ---------------------------------------------------------------------------
+# lapped biorthogonal filters (jax port of dsp.lap_prefilter/postfilter —
+# same exact integer lifting; int32 on device vs int64 in numpy, identical
+# for all valid Q12 content, reference itself is int32: ffv2.h dctcoef)
+# ---------------------------------------------------------------------------
+
+
+def _jx_incr_pos(v):
+    return v + (v > 0).astype(v.dtype)
+
+
+def _jx_c_div(a, b: int):
+    q = jnp.abs(a) // abs(b)
+    return jnp.where((a >= 0) == (b >= 0), q, -q)
+
+
+def _jx_lap_prefilter(x, size: int):
+    """x: int32 [..., size] -> filtered; mirrors dsp.lap_prefilter."""
+    p = [int(v) for v in dsp.LAP_PARAMS[size]]
+    h = size // 2
+    t = [None] * size
+    for i in range(h):
+        t[size - 1 - i] = x[..., i] - x[..., size - 1 - i]
+    for i in range(h):
+        t[h - 1 - i] = x[..., h - 1 - i] - (t[h + i] >> 1)
+    for i in range(h, size):
+        t[i] = _jx_incr_pos((t[i] * p[i - h]) >> 6)
+    for i in range(size - 1, h, -1):
+        t[i] = t[i] + ((t[i - 1] * p[i - 1] + 32) >> 6)
+        t[i - 1] = t[i - 1] + ((t[i] * p[i + h - 2] + 32) >> 6)
+    y = [None] * size
+    for i in range(h):
+        t[i] = t[i] + (t[size - 1 - i] >> 1)
+        y[i] = t[i]
+    for i in range(h):
+        y[h + i] = t[h - 1 - i] - t[h + i]
+    return jnp.stack(y, axis=-1)
+
+
+def _jx_lap_postfilter(x, size: int):
+    p = [int(v) for v in dsp.LAP_PARAMS[size]]
+    h = size // 2
+    t = [None] * size
+    for i in range(h):
+        t[size - 1 - i] = x[..., i] - x[..., size - 1 - i]
+    for i in range(h):
+        t[h - 1 - i] = x[..., h - 1 - i] - (t[h + i] >> 1)
+    for i in range(h, size - 1):
+        t[i] = t[i] - ((t[i + 1] * p[i + h - 1] + 32) >> 6)
+        t[i + 1] = t[i + 1] - ((t[i] * p[i] + 32) >> 6)
+    for i in range(size - 1, h - 1, -1):
+        t[i] = _jx_c_div(t[i] << 6, p[i - h])
+    out = [None] * size
+    for i in range(h):
+        t[i] = t[i] + (t[size - 1 - i] >> 1)
+        out[i] = t[i]
+    for i in range(h, size):
+        out[i] = t[size - 1 - i] - t[i]
+    return jnp.stack(out, axis=-1)
+
+
+def _jx_frame_hor(plane, sb: int, radius: int, forward: bool):
+    """Filter across vertical SB boundaries; plane [..., H, W]."""
+    h = radius // 2
+    W = plane.shape[-1]
+    xs = list(range(sb, W, sb))
+    if not xs:
+        return plane
+    fn = _jx_lap_prefilter if forward else _jx_lap_postfilter
+    slabs = jnp.stack([plane[..., x0 - h:x0 + h] for x0 in xs])
+    filt = fn(slabs, radius)
+    for i, x0 in enumerate(xs):
+        plane = plane.at[..., x0 - h:x0 + h].set(filt[i])
+    return plane
+
+
+def _jx_frame_ver(plane, sb: int, radius: int, forward: bool):
+    h = radius // 2
+    H = plane.shape[-2]
+    ys = list(range(sb, H, sb))
+    if not ys:
+        return plane
+    fn = _jx_lap_prefilter if forward else _jx_lap_postfilter
+    slabs = jnp.stack([jnp.swapaxes(plane[..., y0 - h:y0 + h, :], -1, -2)
+                       for y0 in ys])
+    filt = fn(slabs, radius)
+    for i, y0 in enumerate(ys):
+        plane = plane.at[..., y0 - h:y0 + h, :].set(
+            jnp.swapaxes(filt[i], -1, -2))
+    return plane
+
+
+# ---------------------------------------------------------------------------
+# fused frame pipelines: everything between pixels and the entropy coder
+# runs as ONE jitted program (sample->Q12, lapped prefilter, block split,
+# batched MXU transform, zigzag gather — and the exact inverse)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sb"))
+def _encode_front(planes, depth, sb):
+    """planes: int32 [P, ph, pw] (already padded to the SB grid) ->
+    scanned coefficient streams int32 [nby*nbx*P, sb*sb]."""
+    P, ph, pw = planes.shape
+    nby, nbx = ph // sb, pw // sb
+    c = (planes << (12 - depth)) - 2048        # dsp.ref_to_coeff
+    c = _jx_frame_hor(c, sb, 32, True)
+    c = _jx_frame_ver(c, sb, 32, True)
+    blocks = c.reshape(P, nby, sb, nbx, sb).transpose(1, 3, 0, 2, 4)
+    blocks = blocks.reshape(-1, sb, sb)
+    txed = _tx_batch(blocks, sb, dsp.TX_DCT, False)
+    order = jnp.asarray(dsp.scan_order(sb))
+    return txed.reshape(txed.shape[0], -1)[:, order]
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sb", "nplanes",
+                                             "nby", "nbx"))
+def _decode_back(streams, depth, sb, nplanes, nby, nbx):
+    """Inverse of _encode_front: streams int32 [nby*nbx*P, sb*sb] ->
+    pixel planes int32 [P, ph, pw] (unclipped, caller crops + clips)."""
+    order = jnp.asarray(dsp.scan_order(sb))
+    blocks = jnp.zeros_like(streams).at[:, order].set(streams)
+    inv = _tx_batch(blocks.reshape(-1, sb, sb), sb, dsp.TX_DCT, True)
+    c = inv.reshape(nby, nbx, nplanes, sb, sb).transpose(2, 0, 3, 1, 4)
+    c = c.reshape(nplanes, nby * sb, nbx * sb)
+    c = _jx_frame_ver(c, sb, 32, False)
+    c = _jx_frame_hor(c, sb, 32, False)
+    return (c + 2048) >> (12 - depth)          # dsp.coeff_to_ref
+
+
+def encode_front(planes_padded: np.ndarray, depth: int,
+                 sb: int = None) -> np.ndarray:
+    sb = sb or dsp.SB_SIZE
+    return np.asarray(_encode_front(
+        jnp.asarray(planes_padded, dtype=jnp.int32), depth, sb))
+
+
+def decode_back(streams: np.ndarray, depth: int, nplanes: int,
+                nby: int, nbx: int, sb: int = None) -> np.ndarray:
+    sb = sb or dsp.SB_SIZE
+    return np.asarray(_decode_back(
+        jnp.asarray(streams, dtype=jnp.int32), depth, sb, nplanes,
+        nby, nbx))
