@@ -164,13 +164,13 @@ def cmd_encode(args):
         fourcc = "FFV1"
     elif args.c == "ffv2":
         from ..ffv2 import FFV2Encoder, FFV2Config
+        cfg2 = FFV2Config(qp=args.global_quality,
+                          block_size=args.block_size)
         if args.backend == "python":
-            enc = FFV2Encoder(w, h, args.pix_fmt,
-                              FFV2Config(qp=args.global_quality))
+            enc = FFV2Encoder(w, h, args.pix_fmt, cfg2)
         else:
             from ..ffv2.native import NativeFFV2Encoder
-            enc = NativeFFV2Encoder(w, h, args.pix_fmt,
-                                    FFV2Config(qp=args.global_quality))
+            enc = NativeFFV2Encoder(w, h, args.pix_fmt, cfg2)
         fourcc = "FFV2"
     else:
         sys.exit(f"unknown codec {args.c}")
@@ -303,6 +303,9 @@ def main(argv=None):
         p.add_argument("-g", type=int, default=12)
         p.add_argument("-global_quality", "-qp", dest="global_quality",
                        type=int, default=12)
+        p.add_argument("-block_size", type=int, default=64,
+                       choices=[4, 8, 16, 32, 64],
+                       help="ffv2 leaf block size (<64 emits the split tree)")
         p.add_argument("--backend", default="native",
                        choices=["native", "tpu", "python"])
         p.add_argument("-pass", dest="pass_num", type=int, default=0,

@@ -47,6 +47,8 @@ _WIRE_TO_NAME = {v: k for k, v in PIXFMT_WIRE_IDS.items()}
 class FFV2Config:
     qp: int = 12             # -global_quality: pulses per band
     lossless: bool = False   # declared by the reference, not yet wired
+    block_size: int = 64     # uniform leaf size; < 64 emits the XY
+                             # quad-tree (ffv2dec.c:decode_block_rec)
 
 
 def _pad_to_sb(plane: np.ndarray) -> np.ndarray:
@@ -160,18 +162,40 @@ class FFV2Encoder:
         e.encode_uint(PIXFMT_WIRE_IDS[self.pix_fmt_name], PIXFMT_WIRE_NB)
         e.encode_golomb(qp)
 
+        bs = self.cfg.block_size
+        if bs not in (4, 8, 16, 32, 64):
+            raise ValueError("ffv2 block_size must be a power of 2 in 4..64")
+
+        def leaf(y0, x0, n):
+            e.encode_bits(dsp.TX_DCT, 4)
+            for p in range(self.planes):
+                blk = coeff[p][y0:y0 + n, x0:x0 + n]
+                txed = dsp.fwd_tx_2d(blk, dsp.TX_DCT)
+                stream = dsp.raster_to_coding(txed)
+                _quant_block(e, pulse_cdf, stream, qp, n)
+
+        def block_rec(y0, x0, n):
+            # split tree (ffv2enc.c:encode_block_rec): the reference RDO
+            # stub always codes END at 64x64; block_size < 64 exercises
+            # the XY quad-tree the reference decoder supports
+            if n == 4:
+                leaf(y0, x0, n)
+                return
+            if n == bs:
+                e.encode_cdf_adapt(subdiv, SPLIT_END, 0, SPLIT_NB)
+                leaf(y0, x0, n)
+                return
+            e.encode_cdf_adapt(subdiv, SPLIT_XY, 0, SPLIT_NB)
+            h = n // 2
+            block_rec(y0, x0, h)
+            block_rec(y0, x0 + h, h)
+            block_rec(y0 + h, x0, h)
+            block_rec(y0 + h, x0 + h, h)
+
         ph, pw = coeff[0].shape
         for y0 in range(0, ph, SB):
             for x0 in range(0, pw, SB):
-                # split tree: flat 64x64 leaf (reference RDO stub does the
-                # same, ffv2enc.c:decode_block_rec)
-                e.encode_cdf_adapt(subdiv, SPLIT_END, 0, SPLIT_NB)
-                e.encode_bits(dsp.TX_DCT, 4)
-                for p in range(self.planes):
-                    blk = coeff[p][y0:y0 + SB, x0:x0 + SB]
-                    txed = dsp.fwd_tx_2d(blk, dsp.TX_DCT)
-                    stream = dsp.raster_to_coding(txed)
-                    _quant_block(e, pulse_cdf, stream, qp, SB)
+                block_rec(y0, x0, SB)
         return e.done()
 
 
@@ -199,18 +223,38 @@ class FFV2Decoder:
         pw = -(-self.width // SB) * SB
         coeff = [np.zeros((ph, pw), dtype=np.int64) for _ in range(nplanes)]
 
+        def leaf(y0, x0, n):
+            tx_type = d.decode_bits(4)
+            for p in range(nplanes):
+                stream = _dequant_block(d, pulse_cdf, qp, n)
+                blk = dsp.coding_to_raster(stream, n)
+                coeff[p][y0:y0 + n, x0:x0 + n] = \
+                    dsp.inv_tx_2d(blk.astype(np.int32), tx_type)
+
+        def block_rec(y0, x0, n):
+            # ffv2dec.c:decode_block_rec — 4x4 leaves carry no split
+            # symbol; only the square XY split maps to a real layout
+            # (ffv2_partition_layout_freq off-diagonals are NULL)
+            if n == 4:
+                leaf(y0, x0, n)
+                return
+            split = d.decode_cdf_adapt(subdiv, 0, SPLIT_NB)
+            if split == SPLIT_END:
+                leaf(y0, x0, n)
+                return
+            if split != SPLIT_XY:
+                raise NotImplementedError(
+                    "non-square X/Y splits have no frequency layout "
+                    "(NULL in the reference's layout table)")
+            h = n // 2
+            block_rec(y0, x0, h)
+            block_rec(y0, x0 + h, h)
+            block_rec(y0 + h, x0, h)
+            block_rec(y0 + h, x0 + h, h)
+
         for y0 in range(0, ph, SB):
             for x0 in range(0, pw, SB):
-                split = d.decode_cdf_adapt(subdiv, 0, SPLIT_NB)
-                if split != SPLIT_END:
-                    raise NotImplementedError(
-                        "block splits not emitted by this encoder yet")
-                tx_type = d.decode_bits(4)
-                for p in range(nplanes):
-                    stream = _dequant_block(d, pulse_cdf, qp, SB)
-                    blk = dsp.coding_to_raster(stream, SB)
-                    coeff[p][y0:y0 + SB, x0:x0 + SB] = \
-                        dsp.inv_tx_2d(blk.astype(np.int32), tx_type)
+                block_rec(y0, x0, SB)
 
         out = []
         for p in range(nplanes):

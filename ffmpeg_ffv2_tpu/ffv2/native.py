@@ -43,6 +43,23 @@ def _bind(lib):
                                      ctypes.POINTER(ctypes.c_int64),
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int]
+    lib.ffv2rt_enc_split.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ffv2rt_enc_leaf.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int]
+    lib.ffv2rt_enc_set_bands.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.c_int]
+    lib.ffv2rt_dec_set_bands.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.c_int]
+    lib.ffv2rt_dec_split.restype = ctypes.c_int
+    lib.ffv2rt_dec_split.argtypes = [ctypes.c_void_p]
+    lib.ffv2rt_dec_leaf.restype = ctypes.c_int
+    lib.ffv2rt_dec_leaf.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.c_int, ctypes.c_int]
     lib.ffv2rt_enc_done.restype = ctypes.c_int64
     lib.ffv2rt_enc_done.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_uint8),
@@ -144,6 +161,10 @@ class NativeFFV2Encoder:
 
             padded = np.stack([_pad_px(np.asarray(p), depth)
                                for p in planes])
+            bs = self.cfg.block_size
+            if bs != SB:
+                self._encode_split_tree(lib, h, padded, depth, bs)
+                return self._done(h)
             ph, pw = padded.shape[1:]
             nby, nbx = ph // SB, pw // SB
             try:
@@ -171,15 +192,69 @@ class NativeFFV2Encoder:
             lib.ffv2rt_enc_frame(
                 h, streams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 nby * nbx, self.planes, SB, dsp.TX_DCT)
-            cap = 1 << 24
-            out = np.empty(cap, dtype=np.uint8)
-            n = lib.ffv2rt_enc_done(
-                h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
-            if n < 0:
-                raise RuntimeError("ffv2 native encode overflow")
-            return out[:n].tobytes()
+            return self._done(h)
         finally:
             lib.ffv2rt_enc_destroy(h)
+
+    def _encode_split_tree(self, lib, h, padded, depth, bs):
+        """Uniform bs-sized leaves under the XY quad-tree
+        (ffv2enc.c:encode_block_rec order: TL, TR, BL, BR)."""
+        bands = np.asarray(dsp.band_starts(bs), dtype=np.int32)
+        lib.ffv2rt_enc_set_bands(
+            h, bs, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(bands))
+        ph, pw = padded.shape[1:]
+        nby, nbx = ph // bs, pw // bs
+        try:
+            from .tpu import encode_front
+            streams = encode_front(padded, depth, n=bs).astype(np.int64)
+        except Exception:
+            coeff = [dsp.lap_filter_frame_ver(
+                        dsp.lap_filter_frame_hor(
+                            dsp.ref_to_coeff(padded[i], depth),
+                            SB, 32, True),
+                        SB, 32, True)
+                     for i in range(self.planes)]
+            stacked = np.stack(coeff).reshape(self.planes, nby, bs, nbx, bs)
+            blocks = np.ascontiguousarray(
+                stacked.transpose(1, 3, 0, 2, 4)
+            ).reshape(-1, bs, bs).astype(np.int32)
+            txed = _batched_tx(blocks, inverse=False)
+            order = dsp.scan_order(bs)
+            streams = txed.reshape(len(txed), -1)[:, order].astype(np.int64)
+        streams = np.ascontiguousarray(streams)
+
+        def walk(y0, x0, n):
+            if n == bs:
+                if n != 4:
+                    lib.ffv2rt_enc_split(h, SPLIT_END)
+                by, bx = y0 // bs, x0 // bs
+                sub = streams[(by * nbx + bx) * self.planes:
+                              (by * nbx + bx + 1) * self.planes]
+                lib.ffv2rt_enc_leaf(
+                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self.planes, bs, dsp.TX_DCT)
+                return
+            lib.ffv2rt_enc_split(h, 1)          # SPLIT_XY
+            half = n // 2
+            walk(y0, x0, half)
+            walk(y0, x0 + half, half)
+            walk(y0 + half, x0, half)
+            walk(y0 + half, x0 + half, half)
+
+        for y0 in range(0, ph, SB):
+            for x0 in range(0, pw, SB):
+                walk(y0, x0, SB)
+
+    def _done(self, h) -> bytes:
+        lib = self.lib
+        cap = 1 << 24
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.ffv2rt_enc_done(
+            h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError("ffv2 native encode overflow")
+        return out[:n].tobytes()
 
 
 def _pad(plane):
@@ -231,15 +306,47 @@ class NativeFFV2Decoder:
             ph = -(-self.height // SB) * SB
             pw = -(-self.width // SB) * SB
             nby, nbx = ph // SB, pw // SB
-            nsb = nby * nbx
-            streams = np.zeros((nsb * nplanes, SB * SB), dtype=np.int64)
-            if lib.ffv2rt_dec_frame(
-                    h,
-                    streams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    nsb, nplanes, SB) < 0:
-                raise NotImplementedError("split blocks not supported")
-
             mx = (1 << depth) - 1
+
+            for n in (4, 8, 16, 32):
+                b = np.asarray(dsp.band_starts(n), dtype=np.int32)
+                lib.ffv2rt_dec_set_bands(
+                    h, n, b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    len(b))
+
+            # walk the split tree (ffv2dec.c:decode_block_rec) collecting
+            # leaves; inverse transforms batch afterwards
+            leaves = []       # (y0, x0, n, streams [nplanes, n*n])
+
+            def walk(y0, x0, n):
+                if n > 4:
+                    split = lib.ffv2rt_dec_split(h)
+                    if split == 1:                       # SPLIT_XY
+                        half = n // 2
+                        walk(y0, x0, half)
+                        walk(y0, x0 + half, half)
+                        walk(y0 + half, x0, half)
+                        walk(y0 + half, x0 + half, half)
+                        return
+                    if split != SPLIT_END:
+                        raise NotImplementedError(
+                            "non-square X/Y splits have no frequency "
+                            "layout (NULL in the reference layout table)")
+                sub = np.zeros((nplanes, n * n), dtype=np.int64)
+                lib.ffv2rt_dec_leaf(
+                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    nplanes, n)
+                leaves.append((y0, x0, n, sub))
+
+            for y0 in range(0, ph, SB):
+                for x0 in range(0, pw, SB):
+                    walk(y0, x0, SB)
+
+            if all(lf[2] == SB for lf in leaves):
+                streams = np.concatenate([lf[3] for lf in leaves])
+            else:
+                return self._reconstruct_leaves(leaves, nplanes, depth,
+                                                ph, pw)
             try:
                 from .tpu import decode_back
                 pix = decode_back(streams.astype(np.int32), depth,
@@ -270,3 +377,32 @@ class NativeFFV2Decoder:
             return out
         finally:
             lib.ffv2rt_dec_destroy(h)
+
+    def _reconstruct_leaves(self, leaves, nplanes, depth, ph, pw):
+        """General (mixed leaf size) reconstruction: batch the inverse
+        transforms per size, place into the coeff frame, postfilter."""
+        mx = (1 << depth) - 1
+        coeff = np.zeros((nplanes, ph, pw), dtype=np.int64)
+        from collections import defaultdict
+        by_size = defaultdict(list)
+        for i, (y0, x0, n, sub) in enumerate(leaves):
+            by_size[n].append(i)
+        for n, idxs in by_size.items():
+            order = dsp.scan_order(n)
+            stack = np.concatenate([leaves[i][3] for i in idxs])
+            blocks = np.zeros((len(stack), n * n), dtype=np.int64)
+            blocks[:, order] = stack
+            inv = _batched_tx(blocks.reshape(-1, n, n).astype(np.int32),
+                              inverse=True)
+            inv = np.asarray(inv).reshape(len(idxs), nplanes, n, n)
+            for k, i in enumerate(idxs):
+                y0, x0, _, _ = leaves[i]
+                coeff[:, y0:y0 + n, x0:x0 + n] = inv[k]
+        out = []
+        for p in range(nplanes):
+            c = dsp.lap_filter_frame_hor(
+                dsp.lap_filter_frame_ver(coeff[p], SB, 32, False),
+                SB, 32, False)
+            pix = dsp.coeff_to_ref(c.astype(np.int32), depth)
+            out.append(np.clip(pix[:self.height, :self.width], 0, mx))
+        return out

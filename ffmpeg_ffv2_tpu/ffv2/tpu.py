@@ -157,47 +157,52 @@ def _jx_frame_ver(plane, sb: int, radius: int, forward: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "sb"))
-def _encode_front(planes, depth, sb):
+@functools.partial(jax.jit, static_argnames=("depth", "sb", "n"))
+def _encode_front(planes, depth, sb, n):
     """planes: int32 [P, ph, pw] (already padded to the SB grid) ->
-    scanned coefficient streams int32 [nby*nbx*P, sb*sb]."""
+    scanned coefficient streams int32 [nby*nbx*P, n*n] in raster order of
+    n-sized blocks (lapped filtering stays at SB boundaries)."""
     P, ph, pw = planes.shape
-    nby, nbx = ph // sb, pw // sb
+    nby, nbx = ph // n, pw // n
     c = (planes << (12 - depth)) - 2048        # dsp.ref_to_coeff
     c = _jx_frame_hor(c, sb, 32, True)
     c = _jx_frame_ver(c, sb, 32, True)
-    blocks = c.reshape(P, nby, sb, nbx, sb).transpose(1, 3, 0, 2, 4)
-    blocks = blocks.reshape(-1, sb, sb)
-    txed = _tx_batch(blocks, sb, dsp.TX_DCT, False)
-    order = jnp.asarray(dsp.scan_order(sb))
+    blocks = c.reshape(P, nby, n, nbx, n).transpose(1, 3, 0, 2, 4)
+    blocks = blocks.reshape(-1, n, n)
+    txed = _tx_batch(blocks, n, dsp.TX_DCT, False)
+    order = jnp.asarray(dsp.scan_order(n))
     return txed.reshape(txed.shape[0], -1)[:, order]
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "sb", "nplanes",
-                                             "nby", "nbx"))
-def _decode_back(streams, depth, sb, nplanes, nby, nbx):
-    """Inverse of _encode_front: streams int32 [nby*nbx*P, sb*sb] ->
-    pixel planes int32 [P, ph, pw] (unclipped, caller crops + clips)."""
-    order = jnp.asarray(dsp.scan_order(sb))
+                                             "nby", "nbx", "n"))
+def _decode_back(streams, depth, sb, nplanes, nby, nbx, n):
+    """Inverse of _encode_front: streams int32 [nby*nbx*P, n*n] (raster
+    order of n-blocks) -> pixel planes int32 [P, ph, pw] (unclipped,
+    caller crops + clips)."""
+    order = jnp.asarray(dsp.scan_order(n))
     blocks = jnp.zeros_like(streams).at[:, order].set(streams)
-    inv = _tx_batch(blocks.reshape(-1, sb, sb), sb, dsp.TX_DCT, True)
-    c = inv.reshape(nby, nbx, nplanes, sb, sb).transpose(2, 0, 3, 1, 4)
-    c = c.reshape(nplanes, nby * sb, nbx * sb)
+    inv = _tx_batch(blocks.reshape(-1, n, n), n, dsp.TX_DCT, True)
+    c = inv.reshape(nby, nbx, nplanes, n, n).transpose(2, 0, 3, 1, 4)
+    c = c.reshape(nplanes, nby * n, nbx * n)
     c = _jx_frame_ver(c, sb, 32, False)
     c = _jx_frame_hor(c, sb, 32, False)
     return (c + 2048) >> (12 - depth)          # dsp.coeff_to_ref
 
 
 def encode_front(planes_padded: np.ndarray, depth: int,
-                 sb: int = None) -> np.ndarray:
+                 sb: int = None, n: int = None) -> np.ndarray:
     sb = sb or dsp.SB_SIZE
+    n = n or sb
     return np.asarray(_encode_front(
-        jnp.asarray(planes_padded, dtype=jnp.int32), depth, sb))
+        jnp.asarray(planes_padded, dtype=jnp.int32), depth, sb, n))
 
 
 def decode_back(streams: np.ndarray, depth: int, nplanes: int,
-                nby: int, nbx: int, sb: int = None) -> np.ndarray:
+                nby: int, nbx: int, sb: int = None,
+                n: int = None) -> np.ndarray:
     sb = sb or dsp.SB_SIZE
+    n = n or sb
     return np.asarray(_decode_back(
         jnp.asarray(streams, dtype=jnp.int32), depth, sb, nplanes,
-        nby, nbx))
+        nby, nbx, n))

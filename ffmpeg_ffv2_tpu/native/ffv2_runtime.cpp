@@ -395,21 +395,32 @@ static void band_reconstruct(const int64_t* pulses, int n, int64_t cg,
 // Frame-level coding sessions
 // ---------------------------------------------------------------------------
 
+static inline int size_idx(int n) {  // 4..64 -> 0..4
+    int i = 0;
+    while ((4 << i) < n) i++;
+    return i;
+}
+
 struct Ffv2Enc {
     DaalaEnc ent;
     CDF subdiv;
     CDF pulse;
     int qp = 0;
-    std::vector<int> band_starts;   // per 64x64 block, ends with 4095
+    std::vector<int> bands_by_size[5];   // per block size 4..64
 
     void init(int qp_, const int32_t* bands, int n_bands) {
         qp = qp_;
         subdiv.init(1, 4, 128, 2);
         pulse.init(13, qp, 64, 6);   // reference qp-ary alphabet
-        band_starts.assign(bands, bands + n_bands);
+        bands_by_size[4].assign(bands, bands + n_bands);
+    }
+
+    void set_bands(int n, const int32_t* bands, int n_bands) {
+        bands_by_size[size_idx(n)].assign(bands, bands + n_bands);
     }
 
     void quant_block(const int64_t* stream, int n) {
+        const std::vector<int>& band_starts = bands_by_size[size_idx(n)];
         int64_t dc = stream[0];
         ent.encode_golomb((uint32_t)std::llabs(dc));
         if (dc) ent.encode_bits(dc < 0, 1);
@@ -448,7 +459,7 @@ struct Ffv2Dec {
     CDF subdiv;
     CDF pulse;
     int qp = 0;
-    std::vector<int> band_starts;
+    std::vector<int> bands_by_size[5];
 };
 
 }  // namespace f2v
@@ -481,15 +492,27 @@ void ffv2rt_enc_cdf_q15(void* h, int s, const uint16_t* cdf, int nsyms) {
     static_cast<f2v::Ffv2Enc*>(h)->ent.encode_cdf(s, cdf, nsyms, true);
 }
 
-// code one superblock: split END + tx bits + per-plane quantized streams
-void ffv2rt_enc_sb(void* h, const int64_t* streams, int n_planes, int n,
-                   int tx_type) {
+// split-tree symbol (adaptive CDF): 0=END 1=XY 2=Y 3=X
+void ffv2rt_enc_split(void* h, int split) {
     auto* e = static_cast<f2v::Ffv2Enc*>(h);
-    e->ent.encode_cdf(0, e->subdiv.row(0), 4, false);
-    e->subdiv.adapt(0, 0, 4);
+    e->ent.encode_cdf(split, e->subdiv.row(0), 4, false);
+    e->subdiv.adapt(0, split, 4);
+}
+
+// one leaf block (no split symbol): tx bits + per-plane streams
+void ffv2rt_enc_leaf(void* h, const int64_t* streams, int n_planes, int n,
+                     int tx_type) {
+    auto* e = static_cast<f2v::Ffv2Enc*>(h);
     e->ent.encode_bits(tx_type, 4);
     for (int p = 0; p < n_planes; p++)
         e->quant_block(streams + (size_t)p * n * n, n);
+}
+
+// code one superblock: split END + tx bits + per-plane quantized streams
+void ffv2rt_enc_sb(void* h, const int64_t* streams, int n_planes, int n,
+                   int tx_type) {
+    ffv2rt_enc_split(h, 0);
+    ffv2rt_enc_leaf(h, streams, n_planes, n, tx_type);
 }
 
 // code all superblocks of a frame in one call (streams row-major per SB,
@@ -523,7 +546,18 @@ void ffv2rt_dec_set_qp(void* h, int qp, const int32_t* band_starts,
     auto* d = static_cast<f2v::Ffv2Dec*>(h);
     d->qp = qp;
     d->pulse.init(13, qp, 64, 6);
-    d->band_starts.assign(band_starts, band_starts + n_bands);
+    d->bands_by_size[4].assign(band_starts, band_starts + n_bands);
+}
+
+void ffv2rt_enc_set_bands(void* h, int n, const int32_t* bands,
+                          int n_bands) {
+    static_cast<f2v::Ffv2Enc*>(h)->set_bands(n, bands, n_bands);
+}
+
+void ffv2rt_dec_set_bands(void* h, int n, const int32_t* bands,
+                          int n_bands) {
+    auto* d = static_cast<f2v::Ffv2Dec*>(h);
+    d->bands_by_size[f2v::size_idx(n)].assign(bands, bands + n_bands);
 }
 
 uint32_t ffv2rt_dec_golomb(void* h) {
@@ -539,11 +573,16 @@ int ffv2rt_dec_cdf_q15(void* h, const uint16_t* cdf, int nsyms) {
 }
 
 // decode one superblock into quantized streams; returns tx_type or -1
-int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
+int ffv2rt_dec_split(void* h) {
     auto* d = static_cast<f2v::Ffv2Dec*>(h);
     int split = d->ent.decode_cdf(d->subdiv.row(0), 4, false);
     d->subdiv.adapt(0, split, 4);
-    if (split != 0) return -1;
+    return split;
+}
+
+// one leaf block (no split symbol); returns tx_type
+int ffv2rt_dec_leaf(void* h, int64_t* streams, int n_planes, int n) {
+    auto* d = static_cast<f2v::Ffv2Dec*>(h);
     int tx_type = d->ent.decode_bits(4);
     std::vector<int64_t> pulses(4096);
     for (int p = 0; p < n_planes; p++) {
@@ -553,9 +592,11 @@ int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
         if (dc && d->ent.decode_bits(1)) dc = -dc;
         stream[0] = dc;
         const int n_ac = n * n - 1;
+        const std::vector<int>& band_starts =
+            d->bands_by_size[f2v::size_idx(n)];
         std::vector<int64_t> recon(4200);
-        for (size_t bi = 0; bi + 1 < d->band_starts.size(); bi++) {
-            int lo = d->band_starts[bi], hi = d->band_starts[bi + 1];
+        for (size_t bi = 0; bi + 1 < band_starts.size(); bi++) {
+            int lo = band_starts[bi], hi = band_starts[bi + 1];
             int len = hi - lo;
             int64_t cg = d->ent.decode_golomb();
             std::fill(pulses.begin(), pulses.begin() + len, 0);
@@ -578,6 +619,13 @@ int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
         }
     }
     return tx_type;
+}
+
+// decode one superblock; returns tx_type or -1 on a split (use
+// ffv2rt_dec_split/ffv2rt_dec_leaf for tree-aware decoding)
+int ffv2rt_dec_sb(void* h, int64_t* streams, int n_planes, int n) {
+    if (ffv2rt_dec_split(h) != 0) return -1;
+    return ffv2rt_dec_leaf(h, streams, n_planes, n);
 }
 
 // decode all superblocks; returns 0 or -1 if any SB uses split blocks

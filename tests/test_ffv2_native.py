@@ -48,6 +48,22 @@ def test_native_matches_python(fmt, w, h, qp, seed):
         assert np.array_equal(p, q)
 
 
+@pytest.mark.parametrize("bs", [32, 16, 8, 4])
+def test_split_tree_native_matches_python(bs):
+    """block_size < 64 exercises the XY quad-tree (the reference encoder
+    stubs splits; its decoder — and ours — support them)."""
+    w, h = 128, 96
+    planes = _planes("yuv444p", w, h, 20 + bs)
+    cfg = FFV2Config(qp=12, block_size=bs)
+    pkt_py = FFV2Encoder(w, h, "yuv444p", cfg).encode(planes)
+    pkt_na = NativeFFV2Encoder(w, h, "yuv444p", cfg).encode(planes)
+    assert pkt_na == pkt_py
+    out_py = FFV2Decoder(w, h).decode(pkt_py)
+    out_na = NativeFFV2Decoder(w, h).decode(pkt_py)
+    for p, q in zip(out_py, out_na):
+        assert np.array_equal(p, q)
+
+
 def test_native_session_reuse():
     """One encoder/decoder object across several frames stays exact."""
     w = h = 96

@@ -149,6 +149,30 @@ class TestReferenceInterop:
             psnr = 20 * np.log10(255 / max(err, 1e-9))
             assert psnr > 20.0, f"frame {i}: chroma PSNR {psnr:.2f}"
 
+    def test_ffv2_split_tree_to_reference(self, tmp_path):
+        """The reference decoder parses our XY split-tree streams
+        (its own encoder never emits splits — RDO stub)."""
+        from ffmpeg_ffv2_tpu.ffv2 import FFV2Config
+        from ffmpeg_ffv2_tpu.ffv2.native import NativeFFV2Encoder
+
+        frames = _smooth_frames(1)
+        enc = NativeFFV2Encoder(W, H, "yuv444p",
+                                FFV2Config(qp=16, block_size=16))
+        mkv = MatroskaWriter(W, H, "V_FFV2", (25, 1))
+        mkv.write_packet(enc.encode(frames[0]))
+        path = tmp_path / "split.mkv"
+        mkv.save(str(path))
+        out = tmp_path / "dec.yuv"
+        subprocess.run(
+            [REF_FFMPEG, "-y", "-loglevel", "error", "-i", str(path),
+             "-f", "rawvideo", "-pix_fmt", "yuv444p", str(out)], check=True)
+        got = np.fromfile(out, dtype=np.uint8)
+        assert got.size == 3 * H * W
+        g = got.reshape(3, H, W)
+        err = np.sqrt(np.mean(
+            [(g[p].astype(np.float64) - frames[0][p]) ** 2 for p in (1, 2)]))
+        assert 20 * np.log10(255 / max(err, 1e-9)) > 20.0
+
     def test_ffv2_reference_to_ours(self, tmp_path):
         from ffmpeg_ffv2_tpu.ffv2.native import NativeFFV2Decoder
 
