@@ -20,6 +20,11 @@ the host encoder (tests/test_tpu_coder.py).
 
 Sharding: the lane axis is the mesh "slice" axis — each device scans its
 own slice shard with zero cross-device traffic.
+
+Golomb-Rice mode: the range-coded slice headers go through the same lane
+coder; the Rice bitstream is planned natively as (value, nbits) pairs and
+packed on device by ``bit_pack_lanes`` (a cumsum + disjoint-range scatter
+— embarrassingly parallel, unlike the coder's carry chain).
 """
 
 from __future__ import annotations
@@ -102,6 +107,47 @@ def rac_scan_lanes(sv, bit, mode):
     return staged
 
 
+@jax.jit
+def bit_pack_lanes(val, nb):
+    """Device bit packing for the Golomb-Rice mode: MSB-first
+    concatenation of (value, nbits<=32) ops per lane.
+
+    val/nb: uint32/int32 [steps, lanes] (nb == 0 marks padding).
+    Returns (words uint32 [steps+1, lanes] big-endian bit order,
+    total_bits int32 [lanes]).  Ops writing disjoint bit ranges scatter
+    with add (equivalent to or).  put_bits semantics: flush pads the
+    final partial byte with zero bits.
+    """
+    val = val.astype(jnp.uint32)
+    nb32 = nb.astype(jnp.int32)
+    end = jnp.cumsum(nb32, axis=0)
+    start = end - nb32
+    word = start >> 5
+    off = start & 31
+    steps, lanes = val.shape
+    lo_shift = 32 - off - nb32                  # >=0 when the op fits
+    fits = lo_shift >= 0
+    sh1 = jnp.where(fits, jnp.minimum(lo_shift, 31),
+                    -lo_shift).astype(jnp.uint32)
+    c1 = jnp.where(fits, val << sh1, val >> sh1)
+    sh2 = jnp.clip(64 - off - nb32, 0, 31).astype(jnp.uint32)
+    c2 = jnp.where(fits, jnp.uint32(0), val << sh2)
+    c1 = jnp.where(nb32 > 0, c1, 0)
+    c2 = jnp.where(nb32 > 0, c2, 0)
+    lane_ix = jnp.broadcast_to(jnp.arange(lanes), (steps, lanes))
+    words = jnp.zeros((steps + 1, lanes), jnp.uint32)
+    words = words.at[word, lane_ix].add(c1)
+    words = words.at[word + 1, lane_ix].add(c2)
+    return words, end[-1] if steps else jnp.zeros(lanes, jnp.int32)
+
+
+def pack_lane_bytes(words_col, total_bits) -> bytes:
+    """One lane's packed words -> the byte stream (big-endian words,
+    length = ceil(total_bits / 8))."""
+    nbytes = (int(total_bits) + 7) // 8
+    return np.asarray(words_col).astype(">u4").tobytes()[:nbytes]
+
+
 def compact_lane(first, fcount, fval) -> bytes:
     """Expand one lane's staged events into its bytestream."""
     out = bytearray()
@@ -122,10 +168,11 @@ class TPUCoderFFV1Encoder:
                  config: FFV1Config | None = None):
         self.cfg = config or FFV1Config()
         self.p = params_from_config(self.cfg, pix_fmt, width, height)
-        if self.p.ac == CODER_GOLOMB:
+        self.golomb = self.p.ac == CODER_GOLOMB
+        if self.golomb and self.p.colorspace != 0:
             raise NotImplementedError(
-                "device coder covers the range-coder modes; Golomb-Rice "
-                "uses the host path")
+                "device Golomb path covers YUV/gray planes; RGB uses the "
+                "host path")
         self.native = NativeFFV1Codec(self.p)
         self.lib = get_lib()
         self.lib.ffv1rt_plan.restype = ctypes.c_int64
@@ -135,6 +182,14 @@ class TPUCoderFFV1Encoder:
         self.lib.ffv1rt_get_plan.argtypes = [
             ctypes.c_void_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        self.lib.ffv1rt_plan_golomb.restype = ctypes.c_int64
+        self.lib.ffv1rt_plan_golomb.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+        self.lib.ffv1rt_get_plan_bits.restype = ctypes.c_int64
+        self.lib.ffv1rt_get_plan_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64]
         self.extradata = (H.write_extradata(self.p)
                           if self.p.version > 1 else b"")
@@ -162,11 +217,88 @@ class TPUCoderFFV1Encoder:
             lens.append(int(ln))
         return svs, bits, lens, int(mx)
 
+    def _encode_golomb(self, planes, keyframe) -> bytes:
+        """Golomb-Rice device path: the (tiny) range-coded headers run
+        through the lane coder, the Rice bitstream through the device
+        bit packer; the host planner resolves the VlcState/run-ladder
+        adaptation (see the ARCHITECTURE design note)."""
+        arrs = [np.ascontiguousarray(pl, dtype=np.int32) for pl in planes]
+        ptrs = (ctypes.c_void_p * len(arrs))(
+            *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs])
+        mx = self.lib.ffv1rt_plan_golomb(self.native.handle, ptrs,
+                                         1 if keyframe else 0)
+        if mx < 0:
+            raise RuntimeError("golomb op planning failed")
+        n = self.p.slice_count
+
+        hdr_sv, hdr_bit, hdr_len = [], [], []
+        bit_val, bit_nb, bit_len = [], [], []
+        for si in range(n):
+            sv = np.empty(mx, dtype=np.uint8)
+            bt = np.empty(mx, dtype=np.uint8)
+            ln = self.lib.ffv1rt_get_plan(
+                self.native.handle, si,
+                sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                bt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), mx)
+            hdr_sv.append(sv); hdr_bit.append(bt); hdr_len.append(int(ln))
+            v = np.empty(mx, dtype=np.uint32)
+            nb = np.empty(mx, dtype=np.uint8)
+            ln = self.lib.ffv1rt_get_plan_bits(
+                self.native.handle, si,
+                v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                nb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), mx)
+            bit_val.append(v); bit_nb.append(nb); bit_len.append(int(ln))
+
+        # range-coded headers through the lane coder (+terminate flush)
+        hsteps = 1 << (max(hdr_len) + 2 - 1).bit_length()
+        sv = np.zeros((hsteps, n), dtype=np.int32)
+        bt = np.zeros((hsteps, n), dtype=np.int32)
+        mode = np.zeros((hsteps, n), dtype=np.int32)
+        for si in range(n):
+            L = hdr_len[si]
+            sv[:L, si] = hdr_sv[si][:L]
+            bt[:L, si] = hdr_bit[si][:L]
+            mode[:L, si] = MODE_OP
+            mode[L, si] = MODE_FLUSH1
+            mode[L + 1, si] = MODE_FLUSH2
+        first, fcount, fval = (np.asarray(a) for a in rac_scan_lanes(
+            jnp.asarray(sv), jnp.asarray(bt), jnp.asarray(mode)))
+
+        # Rice bits through the device packer
+        bsteps = 1 << max(max(bit_len), 1).bit_length()
+        val = np.zeros((bsteps, n), dtype=np.uint32)
+        nb = np.zeros((bsteps, n), dtype=np.int32)
+        for si in range(n):
+            L = bit_len[si]
+            val[:L, si] = bit_val[si][:L]
+            nb[:L, si] = bit_nb[si][:L]
+        words, total_bits = bit_pack_lanes(jnp.asarray(val),
+                                           jnp.asarray(nb))
+        words = np.asarray(words)
+        total_bits = np.asarray(total_bits)
+
+        chunks = []
+        for si in range(n):
+            data = compact_lane(first[:, si], fcount[:, si], fval[:, si])
+            data += pack_lane_bytes(words[:, si], int(total_bits[si]))
+            if si > 0 or self.p.version > 2:
+                assert len(data) < (1 << 24)
+                data += len(data).to_bytes(3, "big")
+                if self.p.ec:
+                    data += b"\x00"
+                    data += crc32_trailer(data)
+            chunks.append(data)
+        return b"".join(chunks)
+
     def encode(self, planes, force_keyframe=None) -> bytes:
         gop = self.cfg.gop_size
         keyframe = (gop == 0 or self.picture_number % gop == 0)
         if force_keyframe is not None:
             keyframe = bool(force_keyframe)
+        if self.golomb:
+            pkt = self._encode_golomb(planes, keyframe)
+            self.picture_number += 1
+            return pkt
         svs, bits, lens, mx = self._plan(planes, keyframe)
         n = self.p.slice_count
 

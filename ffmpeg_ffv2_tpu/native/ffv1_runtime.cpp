@@ -306,6 +306,17 @@ struct OpSink {
     }
 };
 
+// golomb-mode planning sink: (value, nbits) pairs for the device
+// bit-packer (ffv1/tpu_coder.py:bit_pack_lanes)
+struct BitSink {
+    std::vector<uint32_t> val;
+    std::vector<uint8_t> nb;
+    void put(int n, unsigned v) {
+        val.push_back(v);
+        nb.push_back((uint8_t)n);
+    }
+};
+
 static void plan_symbol(OpSink& o, uint8_t* st, int v, bool is_signed,
                         const RacTables& tab) {
     if (v) {
@@ -504,6 +515,24 @@ static int get_vlc_symbol(BitReader& gb, VlcState& st, int bits) {
     int ret = fold(v + st.bias, bits);
     st.update(v);
     return ret;
+}
+
+static void plan_sr_golomb(BitSink& b, int i, int k, int limit,
+                           int esc_len) {
+    unsigned v = i >= 0 ? 2u * i : -2u * i - 1;
+    int e = v >> k;
+    if (e < limit)
+        b.put(e + k + 1, (1u << k) + (v & ((1u << k) - 1)));
+    else
+        b.put(limit + esc_len, v - limit + 1);
+}
+
+static void plan_vlc_symbol(BitSink& b, VlcState& st, int v, int bits) {
+    v = fold(v - st.bias, bits);
+    int k = rice_k(st.count, st.error_sum);
+    int code = v ^ ((2 * st.drift + st.count) >> 31);
+    plan_sr_golomb(b, code, k, 12, bits);
+    st.update(v);
 }
 
 // ---------------------------------------------------------------------------
@@ -1259,6 +1288,7 @@ struct Codec {
     int gob_count = 0;
     std::vector<RcStats> slice_stats;
     std::vector<OpSink> planned;
+    std::vector<BitSink> planned_bits;
     // previous decoded frame for concealment
     std::vector<std::vector<int32_t>> last_frame;
     bool key_frame_ok = false;
@@ -1736,6 +1766,110 @@ struct Codec {
         return false;
     }
 
+    // golomb-mode plane planning: the exact encode_line run-ladder +
+    // Rice logic, emitting (value, nbits) pairs instead of writing bits
+    template <typename T>
+    bool plan_plane_golomb(BitSink& b, SliceState& ss, const PlaneView& pv,
+                           int plane_index, int bits) {
+        LineCodec<T> lc(p, ss);
+        const int w = pv.w, h = pv.h;
+        const int ring = p.context_model ? 3 : 2;
+        RowRing<T> rb(w, ring);
+        ss.run_index = 0;
+        const int16_t(*qt)[256] = p.quant_tables[ss.qt_index[plane_index]];
+        VlcState* vlc = ss.vlc[plane_index].data();
+        for (int y = 0; y < h; y++) {
+            T* cur = rb.row((h + 0 - y) % ring);
+            T* prev = rb.row((h + 1 - y) % ring);
+            T* prev2 = ring == 3 ? rb.row((h + 2 - y) % ring) : cur;
+            const int32_t* src = pv.src_row(y);
+            for (int x = 0; x < w; x++) cur[x] = (T)src[x];
+            cur[-1] = prev[0];
+            prev[w] = prev[w - 1];
+            int run_index = ss.run_index, run_count = 0, run_mode = 0;
+            for (int x = 0; x < w; x++) {
+                int context = lc.ctx5(qt, cur, prev, prev2, x);
+                int diff = cur[x] - lc.pred(cur, prev, x);
+                if (context < 0) { context = -context; diff = -diff; }
+                diff = fold(diff, bits);
+                if (context == 0) run_mode = 1;
+                if (run_mode) {
+                    if (diff) {
+                        while (run_count >= 1 << kLog2Run[run_index]) {
+                            run_count -= 1 << kLog2Run[run_index];
+                            run_index++;
+                            b.put(1, 1);
+                        }
+                        b.put(1 + kLog2Run[run_index], run_count);
+                        if (run_index) run_index--;
+                        run_count = 0;
+                        run_mode = 0;
+                        if (diff > 0) diff--;
+                    } else {
+                        run_count++;
+                    }
+                }
+                if (run_mode == 0)
+                    plan_vlc_symbol(b, vlc[context], diff, bits);
+            }
+            if (run_mode) {
+                while (run_count >= 1 << kLog2Run[run_index]) {
+                    run_count -= 1 << kLog2Run[run_index];
+                    run_index++;
+                    b.put(1, 1);
+                }
+                if (run_count) b.put(1, 1);
+            }
+            ss.run_index = run_index;
+        }
+        return true;
+    }
+
+    bool plan_frame_ops_golomb(const int32_t* const* planes, int keyframe,
+                               std::vector<OpSink>& sinks,
+                               std::vector<BitSink>& bsinks) {
+        if (p.ac != AC_GOLOMB || p.colorspace != 0) return false;
+        const RacTables& def = default_tables();
+        if (keyframe) gob_count++;
+        sinks.assign(slices.size(), OpSink());
+        bsinks.assign(slices.size(), BitSink());
+        for (int si = 0; si < (int)slices.size(); si++) {
+            OpSink& o = sinks[si];
+            BitSink& b = bsinks[si];
+            SliceState& ss = slices[si];
+            ss.coding_mode = 0;
+            ss.rct_by = ss.rct_ry = 1;
+            Rect r = slice_rect(p, si);
+            if (si == 0) {
+                uint8_t key_state = 128;
+                o.put(&key_state, keyframe ? 1 : 0, def);
+                if (keyframe && p.version < 2) {
+                    PlanEnc pe{&o, &def};
+                    write_v01_header_ops(pe);
+                }
+            }
+            if (keyframe) ss.clear(p);
+            if (p.version > 2) {
+                uint8_t st[kContextSize];
+                std::memset(st, 128, sizeof(st));
+                plan_slice_header(o, ss, r, st, def);
+                // v>2 golomb slices terminate the header coder with the
+                // version-1 terminator (state-129 zero bit)
+                uint8_t t129 = 129;
+                o.put(&t129, 0, def);
+            }
+            auto pv = slice_views(r, planes, nullptr);
+            bool ok = plan_plane_golomb<int16_t>(b, ss, pv[0], 0, p.bits);
+            if (ok && p.chroma_planes)
+                ok = plan_plane_golomb<int16_t>(b, ss, pv[1], 1, p.bits) &&
+                     plan_plane_golomb<int16_t>(b, ss, pv[2], 1, p.bits);
+            if (ok && p.transparency)
+                ok = plan_plane_golomb<int16_t>(b, ss, pv.back(), 2, p.bits);
+            if (!ok) return false;
+        }
+        return true;
+    }
+
     // ---- decode ----
 
     int decode_frame(const uint8_t* pkt, int64_t size,
@@ -2108,6 +2242,34 @@ int64_t ffv1rt_get_plan(void* h, int32_t si, uint8_t* sv, uint8_t* bit,
     std::memcpy(sv, o.sv.data(), n);
     std::memcpy(bit, o.bit.data(), n);
     return (int64_t)o.sv.size();
+}
+
+// golomb-mode planning: range-coded header ops land in the regular plan
+// (ffv1rt_get_plan), the Rice bitstream in (value, nbits) pairs
+// (ffv1rt_get_plan_bits).  Returns max(bit ops) over slices, or -1.
+int64_t ffv1rt_plan_golomb(void* h, const int32_t* const* planes,
+                           int keyframe) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (!ctx->plan_frame_ops_golomb(planes, keyframe, ctx->planned,
+                                    ctx->planned_bits))
+        return -1;
+    int64_t mx = 0;
+    for (auto& b : ctx->planned_bits)
+        mx = std::max(mx, (int64_t)b.nb.size());
+    for (auto& o : ctx->planned)
+        mx = std::max(mx, (int64_t)o.sv.size());
+    return mx;
+}
+
+int64_t ffv1rt_get_plan_bits(void* h, int32_t si, uint32_t* val,
+                             uint8_t* nb, int64_t cap) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (si < 0 || si >= (int32_t)ctx->planned_bits.size()) return -1;
+    auto& b = ctx->planned_bits[si];
+    int64_t n = std::min((int64_t)b.nb.size(), cap);
+    std::memcpy(val, b.val.data(), n * sizeof(uint32_t));
+    std::memcpy(nb, b.nb.data(), n);
+    return (int64_t)b.nb.size();
 }
 
 void ffv1rt_set_stats_mode(void* h, int32_t enable) {

@@ -24,6 +24,12 @@ CASES = [
     ("v0-range", FFV1Config(level=0, coder=2), "yuv420p"),
     ("v3-16bit", FFV1Config(level=3, slices=4), "yuv444p16"),
     ("v3-ctx1", FFV1Config(slices=4, context=1, coder=2), "yuv420p"),
+    # Golomb-Rice: headers via the lane coder, body via the device
+    # bit packer (bit_pack_lanes)
+    ("v0-rice", FFV1Config(level=0, coder=0), "yuv420p"),
+    ("v1-rice", FFV1Config(level=1, coder=0), "yuv420p"),
+    ("v3-rice", FFV1Config(level=3, slices=4, coder=0), "yuv420p"),
+    ("v3-rice-gray", FFV1Config(level=3, slices=4, coder=0), "gray"),
 ]
 
 
@@ -48,9 +54,33 @@ def test_device_coder_matches_host(name, cfg, fmt):
             assert np.array_equal(x, y)
 
 
-def test_device_coder_rejects_golomb():
+def test_device_coder_rejects_golomb_rgb():
+    # RGB golomb planning stays on the host path for now
     with pytest.raises(NotImplementedError):
-        TPUCoderFFV1Encoder(64, 48, "yuv420p", FFV1Config(slices=4))
+        TPUCoderFFV1Encoder(64, 48, "bgr0", FFV1Config(level=1, coder=0))
+
+
+def test_bit_packer_matches_bitwriter():
+    from ffmpeg_ffv2_tpu.ffv1.tpu_coder import (bit_pack_lanes,
+                                                pack_lane_bytes)
+    from ffmpeg_ffv2_tpu.coder.bitio import BitWriter
+    rng = np.random.RandomState(7)
+    steps, lanes = 300, 4
+    nb = rng.randint(0, 32, (steps, lanes))
+    val = np.zeros((steps, lanes), dtype=np.uint32)
+    for i in range(steps):
+        for l in range(lanes):
+            if nb[i, l]:
+                val[i, l] = rng.randint(0, 1 << int(nb[i, l]))
+    words, total = bit_pack_lanes(val, nb.astype(np.int32))
+    words = np.asarray(words)
+    total = np.asarray(total)
+    for l in range(lanes):
+        bw = BitWriter()
+        for i in range(steps):
+            if nb[i, l]:
+                bw.put(int(nb[i, l]), int(val[i, l]))
+        assert pack_lane_bytes(words[:, l], int(total[l])) == bw.flush()
 
 
 def test_pallas_kernel_matches_scan():
