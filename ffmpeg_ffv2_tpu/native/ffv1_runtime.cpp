@@ -1757,13 +1757,70 @@ struct Codec {
         return true;
     }
 
+    // RGB planning: encode_rgb_t's RCT + per-row plane interleave with
+    // plan_symbol sinks.  PCM fallback (v4 budget overflow) is not
+    // planned -- pathological content stays on the host encoder.
     template <typename T>
     bool plan_rgb(OpSink& o, SliceState& ss, const PlaneView* pv,
                   int nplanes, const RacTables& tab) {
-        // RGB planning mirrors encode_rgb_t; omitted fast path -- use the
-        // host encoder for RGB until the RGB TPU pipeline lands.
-        (void)o; (void)ss; (void)pv; (void)nplanes; (void)tab;
-        return false;
+        LineCodec<T> lc(p, ss);
+        const int w = pv[0].w, h = pv[0].h;
+        const bool lbd = p.bits <= 8;
+        const int bits = p.bits;
+        const int offset = 1 << bits;
+        const int ring = p.context_model ? 3 : 2;
+        std::array<std::unique_ptr<RowRing<T>>, 4> rings;
+        for (int i = 0; i < 4; i++)
+            rings[i] = std::make_unique<RowRing<T>>(w, ring);
+        ss.run_index = 0;
+        for (int y = 0; y < h; y++) {
+            T* cur[4];
+            T* prev[4];
+            T* prev2[4];
+            for (int pl = 0; pl < 4; pl++) {
+                cur[pl] = rings[pl]->row((h + 0 - y) % ring);
+                prev[pl] = rings[pl]->row((h + 1 - y) % ring);
+                prev2[pl] = ring == 3 ? rings[pl]->row((h + 2 - y) % ring)
+                                      : cur[pl];
+            }
+            const bool swap = gb_swapped(p);
+            const int32_t* gs = pv[swap ? 1 : 0].src_row(y);
+            const int32_t* bs = pv[swap ? 0 : 1].src_row(y);
+            const int32_t* rs = pv[2].src_row(y);
+            const int32_t* as = nplanes > 3 ? pv[3].src_row(y) : nullptr;
+            for (int x = 0; x < w; x++) {
+                int g = gs[x], b = bs[x], r = rs[x];
+                b -= g;
+                r -= g;
+                g += (b * ss.rct_by + r * ss.rct_ry) >> 2;
+                b += offset;
+                r += offset;
+                cur[0][x] = (T)g;
+                cur[1][x] = (T)b;
+                cur[2][x] = (T)r;
+                if (as) cur[3][x] = (T)as[x];
+            }
+            for (int pl = 0; pl < nplanes; pl++) {
+                cur[pl][-1] = prev[pl][0];
+                prev[pl][w] = prev[pl][w - 1];
+                int plane_index = (pl + 1) / 2;
+                const int16_t(*qt)[256] =
+                    p.quant_tables[ss.qt_index[plane_index]];
+                uint8_t* states = ss.states[plane_index].data();
+                int eff_bits = lbd ? 9 : bits + 1;
+                for (int x = 0; x < w; x++) {
+                    int context =
+                        lc.ctx5(qt, cur[pl], prev[pl], prev2[pl], x);
+                    int diff = cur[pl][x] - lc.pred(cur[pl], prev[pl], x);
+                    if (context < 0) { context = -context; diff = -diff; }
+                    diff = fold(diff, eff_bits);
+                    plan_symbol(o,
+                                states + (size_t)context * kContextSize,
+                                diff, true, tab);
+                }
+            }
+        }
+        return true;
     }
 
     // golomb-mode plane planning: the exact encode_line run-ladder +

@@ -30,6 +30,11 @@ CASES = [
     ("v1-rice", FFV1Config(level=1, coder=0), "yuv420p"),
     ("v3-rice", FFV1Config(level=3, slices=4, coder=0), "yuv420p"),
     ("v3-rice-gray", FFV1Config(level=3, slices=4, coder=0), "gray"),
+    # RGB (RCT) planning, incl. the v4 per-slice coefficient search
+    ("v3-bgr0", FFV1Config(level=3, slices=4, coder=1), "bgr0"),
+    ("v4-bgr0-rct", FFV1Config(level=4, slices=4, coder=1), "bgr0"),
+    ("v3-gbrp12", FFV1Config(level=3, slices=4, coder=1), "gbrp12"),
+    ("v3-gbrp16", FFV1Config(level=3, slices=4, coder=1), "gbrp16"),
 ]
 
 
@@ -40,9 +45,17 @@ def test_device_coder_matches_host(name, cfg, fmt):
     host = NativeFFV1Codec(dev.p)
     dec = NativeFFV1Codec(dev.p)
     for t in range(3):
+        from ffmpeg_ffv2_tpu.core.pixfmt import get_pix_fmt
+        pf = get_pix_fmt(fmt)
         if fmt == "yuv444p16":
             r = np.random.RandomState(t)
             f = [r.randint(0, 65536, (h, w)).astype(np.int64)
+                 for _ in range(3)]
+        elif pf.colorspace == 1:
+            r = np.random.RandomState(200 + t)
+            mx = (1 << pf.bits) - 1
+            base = r.randint(0, mx + 1, (h, w)).astype(np.int64)
+            f = [np.clip(base + r.randint(-60, 60, (h, w)), 0, mx)
                  for _ in range(3)]
         else:
             f = _mk(100 + t, w, h)
