@@ -169,10 +169,6 @@ class TPUCoderFFV1Encoder:
         self.cfg = config or FFV1Config()
         self.p = params_from_config(self.cfg, pix_fmt, width, height)
         self.golomb = self.p.ac == CODER_GOLOMB
-        if self.golomb and self.p.colorspace != 0:
-            raise NotImplementedError(
-                "device Golomb path covers YUV/gray planes; RGB uses the "
-                "host path")
         self.native = NativeFFV1Codec(self.p)
         self.lib = get_lib()
         self.lib.ffv1rt_plan.restype = ctypes.c_int64

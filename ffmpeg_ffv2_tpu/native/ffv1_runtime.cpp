@@ -1823,8 +1823,49 @@ struct Codec {
         return true;
     }
 
-    // golomb-mode plane planning: the exact encode_line run-ladder +
+    // golomb-mode line planning: the exact encode_line run-ladder +
     // Rice logic, emitting (value, nbits) pairs instead of writing bits
+    template <typename T>
+    void plan_line_golomb(BitSink& b, SliceState& ss, LineCodec<T>& lc,
+                          const int16_t (*qt)[256], VlcState* vlc, int w,
+                          T* cur, const T* prev, const T* prev2, int bits) {
+        int run_index = ss.run_index, run_count = 0, run_mode = 0;
+        for (int x = 0; x < w; x++) {
+            int context = lc.ctx5(qt, cur, prev, prev2, x);
+            int diff = cur[x] - lc.pred(cur, prev, x);
+            if (context < 0) { context = -context; diff = -diff; }
+            diff = fold(diff, bits);
+            if (context == 0) run_mode = 1;
+            if (run_mode) {
+                if (diff) {
+                    while (run_count >= 1 << kLog2Run[run_index]) {
+                        run_count -= 1 << kLog2Run[run_index];
+                        run_index++;
+                        b.put(1, 1);
+                    }
+                    b.put(1 + kLog2Run[run_index], run_count);
+                    if (run_index) run_index--;
+                    run_count = 0;
+                    run_mode = 0;
+                    if (diff > 0) diff--;
+                } else {
+                    run_count++;
+                }
+            }
+            if (run_mode == 0)
+                plan_vlc_symbol(b, vlc[context], diff, bits);
+        }
+        if (run_mode) {
+            while (run_count >= 1 << kLog2Run[run_index]) {
+                run_count -= 1 << kLog2Run[run_index];
+                run_index++;
+                b.put(1, 1);
+            }
+            if (run_count) b.put(1, 1);
+        }
+        ss.run_index = run_index;
+    }
+
     template <typename T>
     bool plan_plane_golomb(BitSink& b, SliceState& ss, const PlaneView& pv,
                            int plane_index, int bits) {
@@ -1843,41 +1884,61 @@ struct Codec {
             for (int x = 0; x < w; x++) cur[x] = (T)src[x];
             cur[-1] = prev[0];
             prev[w] = prev[w - 1];
-            int run_index = ss.run_index, run_count = 0, run_mode = 0;
+            plan_line_golomb(b, ss, lc, qt, vlc, w, cur, prev, prev2, bits);
+        }
+        return true;
+    }
+
+    template <typename T>
+    bool plan_rgb_golomb(BitSink& b, SliceState& ss, const PlaneView* pv,
+                         int nplanes, int bits) {
+        LineCodec<T> lc(p, ss);
+        const int w = pv[0].w, h = pv[0].h;
+        const bool lbd = p.bits <= 8;
+        const int offset = 1 << bits;
+        const int ring = p.context_model ? 3 : 2;
+        std::array<std::unique_ptr<RowRing<T>>, 4> rings;
+        for (int i = 0; i < 4; i++)
+            rings[i] = std::make_unique<RowRing<T>>(w, ring);
+        ss.run_index = 0;
+        for (int y = 0; y < h; y++) {
+            T* cur[4];
+            T* prev[4];
+            T* prev2[4];
+            for (int pl = 0; pl < 4; pl++) {
+                cur[pl] = rings[pl]->row((h + 0 - y) % ring);
+                prev[pl] = rings[pl]->row((h + 1 - y) % ring);
+                prev2[pl] = ring == 3 ? rings[pl]->row((h + 2 - y) % ring)
+                                      : cur[pl];
+            }
+            const bool swap = gb_swapped(p);
+            const int32_t* gs = pv[swap ? 1 : 0].src_row(y);
+            const int32_t* bs = pv[swap ? 0 : 1].src_row(y);
+            const int32_t* rs = pv[2].src_row(y);
+            const int32_t* as = nplanes > 3 ? pv[3].src_row(y) : nullptr;
             for (int x = 0; x < w; x++) {
-                int context = lc.ctx5(qt, cur, prev, prev2, x);
-                int diff = cur[x] - lc.pred(cur, prev, x);
-                if (context < 0) { context = -context; diff = -diff; }
-                diff = fold(diff, bits);
-                if (context == 0) run_mode = 1;
-                if (run_mode) {
-                    if (diff) {
-                        while (run_count >= 1 << kLog2Run[run_index]) {
-                            run_count -= 1 << kLog2Run[run_index];
-                            run_index++;
-                            b.put(1, 1);
-                        }
-                        b.put(1 + kLog2Run[run_index], run_count);
-                        if (run_index) run_index--;
-                        run_count = 0;
-                        run_mode = 0;
-                        if (diff > 0) diff--;
-                    } else {
-                        run_count++;
-                    }
-                }
-                if (run_mode == 0)
-                    plan_vlc_symbol(b, vlc[context], diff, bits);
+                int g = gs[x], bb = bs[x], r = rs[x];
+                bb -= g;
+                r -= g;
+                g += (bb * ss.rct_by + r * ss.rct_ry) >> 2;
+                bb += offset;
+                r += offset;
+                cur[0][x] = (T)g;
+                cur[1][x] = (T)bb;
+                cur[2][x] = (T)r;
+                if (as) cur[3][x] = (T)as[x];
             }
-            if (run_mode) {
-                while (run_count >= 1 << kLog2Run[run_index]) {
-                    run_count -= 1 << kLog2Run[run_index];
-                    run_index++;
-                    b.put(1, 1);
-                }
-                if (run_count) b.put(1, 1);
+            for (int pl = 0; pl < nplanes; pl++) {
+                cur[pl][-1] = prev[pl][0];
+                prev[pl][w] = prev[pl][w - 1];
+                int plane_index = (pl + 1) / 2;
+                const int16_t(*qt)[256] =
+                    p.quant_tables[ss.qt_index[plane_index]];
+                VlcState* vlc = ss.vlc[plane_index].data();
+                int eff_bits = lbd ? 9 : bits + 1;
+                plan_line_golomb(b, ss, lc, qt, vlc, w, cur[pl], prev[pl],
+                                 prev2[pl], eff_bits);
             }
-            ss.run_index = run_index;
         }
         return true;
     }
@@ -1885,7 +1946,7 @@ struct Codec {
     bool plan_frame_ops_golomb(const int32_t* const* planes, int keyframe,
                                std::vector<OpSink>& sinks,
                                std::vector<BitSink>& bsinks) {
-        if (p.ac != AC_GOLOMB || p.colorspace != 0) return false;
+        if (p.ac != AC_GOLOMB) return false;
         const RacTables& def = default_tables();
         if (keyframe) gob_count++;
         sinks.assign(slices.size(), OpSink());
@@ -1895,8 +1956,13 @@ struct Codec {
             BitSink& b = bsinks[si];
             SliceState& ss = slices[si];
             ss.coding_mode = 0;
-            ss.rct_by = ss.rct_ry = 1;
             Rect r = slice_rect(p, si);
+            if (p.version > 3 && p.colorspace == 1) {
+                auto rpv = slice_views(r, planes, nullptr);
+                choose_rct(ss, rpv);
+            } else {
+                ss.rct_by = ss.rct_ry = 1;
+            }
             if (si == 0) {
                 uint8_t key_state = 128;
                 o.put(&key_state, keyframe ? 1 : 0, def);
@@ -1916,12 +1982,24 @@ struct Codec {
                 o.put(&t129, 0, def);
             }
             auto pv = slice_views(r, planes, nullptr);
-            bool ok = plan_plane_golomb<int16_t>(b, ss, pv[0], 0, p.bits);
-            if (ok && p.chroma_planes)
-                ok = plan_plane_golomb<int16_t>(b, ss, pv[1], 1, p.bits) &&
-                     plan_plane_golomb<int16_t>(b, ss, pv[2], 1, p.bits);
-            if (ok && p.transparency)
-                ok = plan_plane_golomb<int16_t>(b, ss, pv.back(), 2, p.bits);
+            bool ok;
+            if (p.colorspace == 0) {
+                ok = plan_plane_golomb<int16_t>(b, ss, pv[0], 0, p.bits);
+                if (ok && p.chroma_planes)
+                    ok = plan_plane_golomb<int16_t>(b, ss, pv[1], 1,
+                                                    p.bits) &&
+                         plan_plane_golomb<int16_t>(b, ss, pv[2], 1,
+                                                    p.bits);
+                if (ok && p.transparency)
+                    ok = plan_plane_golomb<int16_t>(b, ss, pv.back(), 2,
+                                                    p.bits);
+            } else if (p.use32bit) {
+                ok = plan_rgb_golomb<int32_t>(b, ss, pv.data(),
+                                              (int)pv.size(), p.bits);
+            } else {
+                ok = plan_rgb_golomb<int16_t>(b, ss, pv.data(),
+                                              (int)pv.size(), p.bits);
+            }
             if (!ok) return false;
         }
         return true;

@@ -35,6 +35,8 @@ CASES = [
     ("v4-bgr0-rct", FFV1Config(level=4, slices=4, coder=1), "bgr0"),
     ("v3-gbrp12", FFV1Config(level=3, slices=4, coder=1), "gbrp12"),
     ("v3-gbrp16", FFV1Config(level=3, slices=4, coder=1), "gbrp16"),
+    ("v1-bgr0-rice", FFV1Config(level=1, coder=0), "bgr0"),
+    ("v3-gbrp10-rice", FFV1Config(level=3, slices=4, coder=0), "gbrp10"),
 ]
 
 
@@ -65,12 +67,6 @@ def test_device_coder_matches_host(name, cfg, fmt):
         outs = dec.decode(a)
         for x, y in zip(f, outs):
             assert np.array_equal(x, y)
-
-
-def test_device_coder_rejects_golomb_rgb():
-    # RGB golomb planning stays on the host path for now
-    with pytest.raises(NotImplementedError):
-        TPUCoderFFV1Encoder(64, 48, "bgr0", FFV1Config(level=1, coder=0))
 
 
 def test_bit_packer_matches_bitwriter():
