@@ -304,8 +304,9 @@ def main(argv=None):
         p.add_argument("-global_quality", "-qp", dest="global_quality",
                        type=int, default=12)
         p.add_argument("-block_size", type=int, default=64,
-                       choices=[4, 8, 16, 32, 64],
-                       help="ffv2 leaf block size (<64 emits the split tree)")
+                       choices=[0, 4, 8, 16, 32, 64],
+                       help="ffv2 leaf block size (<64 emits the split "
+                            "tree; 0 = activity-adaptive)")
         p.add_argument("--backend", default="native",
                        choices=["native", "tpu", "python"])
         p.add_argument("-pass", dest="pass_num", type=int, default=0,

@@ -48,7 +48,45 @@ class FFV2Config:
     qp: int = 12             # -global_quality: pulses per band
     lossless: bool = False   # declared by the reference, not yet wired
     block_size: int = 64     # uniform leaf size; < 64 emits the XY
-                             # quad-tree (ffv2dec.c:decode_block_rec)
+                             # quad-tree; 0 = activity-adaptive splits
+    split_threshold: int = 40000   # Q12 variance above which an adaptive
+                                   # block splits (block_size == 0)
+    min_block_size: int = 8        # adaptive-mode floor
+
+
+def split_tree(coeff, y0: int, x0: int, n: int, thresh: int,
+               min_bs: int):
+    """Activity-adaptive split decision over prefiltered Q12 coefficient
+    planes (list/array [P, ph, pw]): split while the block's summed
+    per-plane variance exceeds ``thresh`` and n > min_bs.  Returns a
+    nested tuple: ("leaf",) or ("split", tl, tr, bl, br) — same shape on
+    every encoder backend so device/host streams stay byte-identical."""
+    if n <= max(min_bs, 4):
+        return ("leaf",)
+    cnt = n * n
+    var_num = 0          # sum over planes of cnt*Σx² - (Σx)², exact int
+    for p in range(len(coeff)):
+        blk = np.asarray(coeff[p][y0:y0 + n, x0:x0 + n],
+                         dtype=np.int64).ravel()
+        s = int(blk.sum())
+        ss = int((blk * blk).sum())
+        var_num += cnt * ss - s * s
+    if var_num <= thresh * cnt * cnt:
+        return ("leaf",)
+    h = n // 2
+    return ("split",
+            split_tree(coeff, y0, x0, h, thresh, min_bs),
+            split_tree(coeff, y0, x0 + h, h, thresh, min_bs),
+            split_tree(coeff, y0 + h, x0, h, thresh, min_bs),
+            split_tree(coeff, y0 + h, x0 + h, h, thresh, min_bs))
+
+
+def uniform_tree(n: int, bs: int):
+    if n == bs or n <= 4:
+        return ("leaf",)
+    h = n // 2
+    sub = uniform_tree(h, bs)
+    return ("split", sub, sub, sub, sub)
 
 
 def _pad_to_sb(plane: np.ndarray) -> np.ndarray:
@@ -163,8 +201,9 @@ class FFV2Encoder:
         e.encode_golomb(qp)
 
         bs = self.cfg.block_size
-        if bs not in (4, 8, 16, 32, 64):
-            raise ValueError("ffv2 block_size must be a power of 2 in 4..64")
+        if bs not in (0, 4, 8, 16, 32, 64):
+            raise ValueError("ffv2 block_size must be 0 (adaptive) or a "
+                             "power of 2 in 4..64")
 
         def leaf(y0, x0, n):
             e.encode_bits(dsp.TX_DCT, 4)
@@ -174,28 +213,32 @@ class FFV2Encoder:
                 stream = dsp.raster_to_coding(txed)
                 _quant_block(e, pulse_cdf, stream, qp, n)
 
-        def block_rec(y0, x0, n):
+        def block_rec(tree, y0, x0, n):
             # split tree (ffv2enc.c:encode_block_rec): the reference RDO
-            # stub always codes END at 64x64; block_size < 64 exercises
-            # the XY quad-tree the reference decoder supports
-            if n == 4:
-                leaf(y0, x0, n)
-                return
-            if n == bs:
-                e.encode_cdf_adapt(subdiv, SPLIT_END, 0, SPLIT_NB)
+            # stub always codes END at 64x64; we follow a uniform or
+            # activity-adaptive quad-tree (4x4 carries no split symbol)
+            if tree[0] == "leaf":
+                if n > 4:
+                    e.encode_cdf_adapt(subdiv, SPLIT_END, 0, SPLIT_NB)
                 leaf(y0, x0, n)
                 return
             e.encode_cdf_adapt(subdiv, SPLIT_XY, 0, SPLIT_NB)
             h = n // 2
-            block_rec(y0, x0, h)
-            block_rec(y0, x0 + h, h)
-            block_rec(y0 + h, x0, h)
-            block_rec(y0 + h, x0 + h, h)
+            block_rec(tree[1], y0, x0, h)
+            block_rec(tree[2], y0, x0 + h, h)
+            block_rec(tree[3], y0 + h, x0, h)
+            block_rec(tree[4], y0 + h, x0 + h, h)
 
         ph, pw = coeff[0].shape
         for y0 in range(0, ph, SB):
             for x0 in range(0, pw, SB):
-                block_rec(y0, x0, SB)
+                if bs == 0:
+                    tree = split_tree(coeff, y0, x0, SB,
+                                      self.cfg.split_threshold,
+                                      self.cfg.min_block_size)
+                else:
+                    tree = uniform_tree(SB, bs)
+                block_rec(tree, y0, x0, SB)
         return e.done()
 
 

@@ -197,54 +197,90 @@ class NativeFFV2Encoder:
             lib.ffv2rt_enc_destroy(h)
 
     def _encode_split_tree(self, lib, h, padded, depth, bs):
-        """Uniform bs-sized leaves under the XY quad-tree
-        (ffv2enc.c:encode_block_rec order: TL, TR, BL, BR)."""
-        bands = np.asarray(dsp.band_starts(bs), dtype=np.int32)
-        lib.ffv2rt_enc_set_bands(
-            h, bs, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(bands))
+        """Quad-tree leaves (uniform bs or activity-adaptive when bs==0)
+        under the XY split syntax (ffv2enc.c:encode_block_rec order:
+        TL, TR, BL, BR).  Transforms batch per leaf size on device."""
+        from .codec import split_tree, uniform_tree
         ph, pw = padded.shape[1:]
-        nby, nbx = ph // bs, pw // bs
         try:
-            from .tpu import encode_front
-            streams = encode_front(padded, depth, n=bs).astype(np.int64)
+            from .tpu import prefilter_frame
+            coeff = prefilter_frame(padded, depth)
         except Exception:
-            coeff = [dsp.lap_filter_frame_ver(
-                        dsp.lap_filter_frame_hor(
-                            dsp.ref_to_coeff(padded[i], depth),
-                            SB, 32, True),
-                        SB, 32, True)
-                     for i in range(self.planes)]
-            stacked = np.stack(coeff).reshape(self.planes, nby, bs, nbx, bs)
-            blocks = np.ascontiguousarray(
-                stacked.transpose(1, 3, 0, 2, 4)
-            ).reshape(-1, bs, bs).astype(np.int32)
-            txed = _batched_tx(blocks, inverse=False)
-            order = dsp.scan_order(bs)
-            streams = txed.reshape(len(txed), -1)[:, order].astype(np.int64)
-        streams = np.ascontiguousarray(streams)
+            coeff = np.stack([
+                dsp.lap_filter_frame_ver(
+                    dsp.lap_filter_frame_hor(
+                        dsp.ref_to_coeff(padded[i], depth), SB, 32, True),
+                    SB, 32, True)
+                for i in range(self.planes)])
+        coeff = np.asarray(coeff, dtype=np.int64)
 
-        def walk(y0, x0, n):
-            if n == bs:
-                if n != 4:
-                    lib.ffv2rt_enc_split(h, SPLIT_END)
-                by, bx = y0 // bs, x0 // bs
-                sub = streams[(by * nbx + bx) * self.planes:
-                              (by * nbx + bx + 1) * self.planes]
-                lib.ffv2rt_enc_leaf(
-                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    self.planes, bs, dsp.TX_DCT)
+        # per-SB trees + leaf list in walk order
+        trees = {}
+        leaves = []              # (y0, x0, n)
+        def collect(tree, y0, x0, n):
+            if tree[0] == "leaf":
+                leaves.append((y0, x0, n))
                 return
-            lib.ffv2rt_enc_split(h, 1)          # SPLIT_XY
             half = n // 2
-            walk(y0, x0, half)
-            walk(y0, x0 + half, half)
-            walk(y0 + half, x0, half)
-            walk(y0 + half, x0 + half, half)
+            collect(tree[1], y0, x0, half)
+            collect(tree[2], y0, x0 + half, half)
+            collect(tree[3], y0 + half, x0, half)
+            collect(tree[4], y0 + half, x0 + half, half)
 
         for y0 in range(0, ph, SB):
             for x0 in range(0, pw, SB):
-                walk(y0, x0, SB)
+                if bs == 0:
+                    t = split_tree(coeff, y0, x0, SB,
+                                   self.cfg.split_threshold,
+                                   self.cfg.min_block_size)
+                else:
+                    t = uniform_tree(SB, bs)
+                trees[(y0, x0)] = t
+                collect(t, y0, x0, SB)
+
+        # batch transforms per leaf size; scatter scanned streams per leaf
+        sizes = sorted({n for (_, _, n) in leaves})
+        streams_by_leaf = {}
+        for n in sizes:
+            bands = np.asarray(dsp.band_starts(n), dtype=np.int32)
+            lib.ffv2rt_enc_set_bands(
+                h, n,
+                bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(bands))
+            idxs = [i for i, lf in enumerate(leaves) if lf[2] == n]
+            blocks = np.stack([
+                coeff[p, leaves[i][0]:leaves[i][0] + n,
+                      leaves[i][1]:leaves[i][1] + n]
+                for i in idxs for p in range(self.planes)]).astype(np.int32)
+            txed = _batched_tx(blocks, inverse=False)
+            order = dsp.scan_order(n)
+            scanned = np.ascontiguousarray(
+                np.asarray(txed).reshape(len(blocks), -1)[:, order]
+                .astype(np.int64))
+            for k, i in enumerate(idxs):
+                streams_by_leaf[i] = scanned[k * self.planes:
+                                             (k + 1) * self.planes]
+
+        li = iter(range(len(leaves)))
+        def walk(tree, y0, x0, n):
+            if tree[0] == "leaf":
+                if n > 4:
+                    lib.ffv2rt_enc_split(h, SPLIT_END)
+                sub = np.ascontiguousarray(streams_by_leaf[next(li)])
+                lib.ffv2rt_enc_leaf(
+                    h, sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self.planes, n, dsp.TX_DCT)
+                return
+            lib.ffv2rt_enc_split(h, 1)          # SPLIT_XY
+            half = n // 2
+            walk(tree[1], y0, x0, half)
+            walk(tree[2], y0, x0 + half, half)
+            walk(tree[3], y0 + half, x0, half)
+            walk(tree[4], y0 + half, x0 + half, half)
+
+        for y0 in range(0, ph, SB):
+            for x0 in range(0, pw, SB):
+                walk(trees[(y0, x0)], y0, x0, SB)
 
     def _done(self, h) -> bytes:
         lib = self.lib

@@ -206,3 +206,20 @@ def decode_back(streams: np.ndarray, depth: int, nplanes: int,
     return np.asarray(_decode_back(
         jnp.asarray(streams, dtype=jnp.int32), depth, sb, nplanes,
         nby, nbx, n))
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sb"))
+def _prefilter_frame(planes, depth, sb):
+    """planes int32 [P, ph, pw] -> prefiltered Q12 coefficient planes
+    (the common front of encode_front, before block split)."""
+    c = (planes << (12 - depth)) - 2048
+    c = _jx_frame_hor(c, sb, 32, True)
+    c = _jx_frame_ver(c, sb, 32, True)
+    return c
+
+
+def prefilter_frame(planes_padded: np.ndarray, depth: int,
+                    sb: int = None) -> np.ndarray:
+    sb = sb or dsp.SB_SIZE
+    return np.asarray(_prefilter_frame(
+        jnp.asarray(planes_padded, dtype=jnp.int32), depth, sb))

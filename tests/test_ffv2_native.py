@@ -48,12 +48,17 @@ def test_native_matches_python(fmt, w, h, qp, seed):
         assert np.array_equal(p, q)
 
 
-@pytest.mark.parametrize("bs", [32, 16, 8, 4])
+@pytest.mark.parametrize("bs", [32, 16, 8, 4, 0])
 def test_split_tree_native_matches_python(bs):
     """block_size < 64 exercises the XY quad-tree (the reference encoder
-    stubs splits; its decoder — and ours — support them)."""
+    stubs splits; its decoder — and ours — support them); 0 = the
+    activity-adaptive mode (mixed leaf sizes)."""
     w, h = 128, 96
     planes = _planes("yuv444p", w, h, 20 + bs)
+    if bs == 0:
+        # mixed content so the adaptive tree actually mixes leaf sizes
+        planes[0][:64, :64] = np.linspace(
+            0, 255, 64 * 64).reshape(64, 64).astype(np.int64)
     cfg = FFV2Config(qp=12, block_size=bs)
     pkt_py = FFV2Encoder(w, h, "yuv444p", cfg).encode(planes)
     pkt_na = NativeFFV2Encoder(w, h, "yuv444p", cfg).encode(planes)
