@@ -17,7 +17,6 @@ from . import dsp
 from .codec import (FFV2Config, PIXFMT_WIRE_IDS, PIXFMT_WIRE_NB,
                     _WIRE_TO_NAME, SPLIT_END)
 from .entropy import cdf_triangle, _log2p1, UINT_BITS
-from .tables import DAALA_CDF_TAB
 
 SB = dsp.SB_SIZE
 

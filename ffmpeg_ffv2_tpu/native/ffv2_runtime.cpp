@@ -9,8 +9,8 @@
 // Coding layout per superblock (ffv2enc.c:encode_block_rec semantics with
 // the flat-leaf RDO): split symbol (adaptive CDF), 4 tx-type bits, then per
 // plane: DC exp-golomb + sign, and per frequency band: companded gain
-// (integer cbrt), PVQ pulse magnitudes via the adaptive (qp+1)-ary CDF,
-// sign bits.
+// (integer cbrt), PVQ pulse magnitudes via the adaptive qp-ary CDF
+// (reference alphabet; search capped at qp-1), sign bits.
 
 #include <cstdint>
 #include <cstring>

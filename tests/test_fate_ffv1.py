@@ -17,7 +17,8 @@ from ffmpeg_ffv2_tpu.ffv1.params import params_from_config
 from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
 from ffmpeg_ffv2_tpu.ffv1 import headers as H
 from ffmpeg_ffv2_tpu.container.avi import AviWriter, AviReader
-from ffmpeg_ffv2_tpu.testsrc import vsynth1_frames, rotozoom_frames
+from ffmpeg_ffv2_tpu.testsrc import (vsynth1_frames, vsynth3_frames,
+                                      rotozoom_frames)
 
 REF_ROOT = os.environ.get("REF_ROOT", "/root/reference")
 VSYNTH_REF = os.path.join(REF_ROOT, "tests", "ref", "vsynth")
@@ -42,7 +43,13 @@ def source_frames(which):
         return list(vsynth1_frames())
     if which == "vsynth2":
         return list(rotozoom_frames(REFERENCE_PNM))
+    if which == "vsynth3":
+        return list(vsynth3_frames())
     raise ValueError(which)
+
+
+def source_dims(which):
+    return (34, 34) if which == "vsynth3" else (352, 288)
 
 
 CASES = [
@@ -52,6 +59,9 @@ CASES = [
     ("vsynth2", "vsynth2-ffv1", FFV1Config(slices=4)),
     ("vsynth2", "vsynth2-ffv1-v0", FFV1Config()),
     ("vsynth2", "vsynth2-ffv1-v3-yuv420p", FFV1Config(level=3)),
+    ("vsynth3", "vsynth3-ffv1", FFV1Config(slices=4)),
+    ("vsynth3", "vsynth3-ffv1-v0", FFV1Config()),
+    ("vsynth3", "vsynth3-ffv1-v3-yuv420p", FFV1Config(level=3)),
 ]
 
 
@@ -60,11 +70,12 @@ CASES = [
 def test_fate_golden(src, ref_name, cfg):
     enc_md5, enc_size, dec_md5, _ = parse_golden(ref_name)
     frames = source_frames(src)
+    w, h = source_dims(src)
 
-    p = params_from_config(cfg, "yuv420p", 352, 288)
+    p = params_from_config(cfg, "yuv420p", w, h)
     extradata = H.write_extradata(p) if p.version > 1 else b""
     enc = NativeFFV1Codec(p)
-    avi = AviWriter(352, 288, "FFV1", (25, 1), extradata)
+    avi = AviWriter(w, h, "FFV1", (25, 1), extradata)
     for t, planes in enumerate(frames):
         key = t % 12 == 0
         pkt = enc.encode([pl.astype(np.int32) for pl in planes], key)
@@ -108,6 +119,10 @@ CONV_CASES = [
      yuv420p_to_yuv444p16_neighbor, yuv444p16_to_yuv420p_neighbor),
     ("vsynth2-ffv1-v3-yuv422p10", "yuv422p10",
      yuv420p_to_yuv422p10_neighbor, yuv422p10_to_yuv420p_neighbor),
+    ("vsynth3-ffv1-v3-yuv422p10", "yuv422p10",
+     yuv420p_to_yuv422p10_neighbor, yuv422p10_to_yuv420p_neighbor),
+    ("vsynth3-ffv1-v3-yuv444p16", "yuv444p16",
+     yuv420p_to_yuv444p16_neighbor, yuv444p16_to_yuv420p_neighbor),
 ]
 
 
@@ -118,10 +133,11 @@ def test_fate_golden_converted(ref_name, pix, conv, back):
     src = ref_name.split("-")[0]
     frames = source_frames(src)
 
+    w, h = source_dims(src)
     cfg = FFV1Config(level=3)
-    p = params_from_config(cfg, pix, 352, 288)
+    p = params_from_config(cfg, pix, w, h)
     enc = NativeFFV1Codec(p)
-    avi = AviWriter(352, 288, "FFV1", (25, 1), H.write_extradata(p))
+    avi = AviWriter(w, h, "FFV1", (25, 1), H.write_extradata(p))
     conv_frames = []
     for t, planes in enumerate(frames):
         cf = conv(*planes)
@@ -150,6 +166,8 @@ RGB_CASES = [
     ("vsynth1-ffv1-v3-bgr0", "bgr0"),
     ("vsynth1-ffv1-v3-rgb48", "rgb48"),
     ("vsynth2-ffv1-v3-bgr0", "bgr0"),
+    ("vsynth3-ffv1-v3-bgr0", "bgr0"),
+    ("vsynth3-ffv1-v3-rgb48", "rgb48"),
 ]
 
 
@@ -174,7 +192,7 @@ def test_fate_golden_rgb(ref_name, ourpix):
 
     src = ref_name.split("-")[0]
     frames = source_frames(src)
-    w, h = 352, 288
+    w, h = source_dims(src)
 
     cfg = FFV1Config(level=3)
     p = params_from_config(cfg, ourpix, w, h)
