@@ -119,6 +119,8 @@ CONV_CASES = [
      yuv420p_to_yuv444p16_neighbor, yuv444p16_to_yuv420p_neighbor),
     ("vsynth2-ffv1-v3-yuv422p10", "yuv422p10",
      yuv420p_to_yuv422p10_neighbor, yuv422p10_to_yuv420p_neighbor),
+    ("vsynth2-ffv1-v3-yuv444p16", "yuv444p16",
+     yuv420p_to_yuv444p16_neighbor, yuv444p16_to_yuv420p_neighbor),
     ("vsynth3-ffv1-v3-yuv422p10", "yuv422p10",
      yuv420p_to_yuv422p10_neighbor, yuv422p10_to_yuv420p_neighbor),
     ("vsynth3-ffv1-v3-yuv444p16", "yuv444p16",
@@ -166,6 +168,7 @@ RGB_CASES = [
     ("vsynth1-ffv1-v3-bgr0", "bgr0"),
     ("vsynth1-ffv1-v3-rgb48", "rgb48"),
     ("vsynth2-ffv1-v3-bgr0", "bgr0"),
+    ("vsynth2-ffv1-v3-rgb48", "rgb48"),
     ("vsynth3-ffv1-v3-bgr0", "bgr0"),
     ("vsynth3-ffv1-v3-rgb48", "rgb48"),
 ]
@@ -235,3 +238,21 @@ def test_fate_golden_rgb(ref_name, ourpix):
     src_raw = b"".join(pl.astype(np.uint8).tobytes()
                        for f in frames for pl in f)
     assert tiny_psnr_line(src_raw, bytes(dec_raw)) == psnr_golden
+
+
+LENA_VARIANTS = ["", "-v0", "-v3-yuv420p", "-v3-yuv422p10", "-v3-yuv444p16",
+                 "-v3-bgr0", "-v3-rgb48"]
+
+
+@pytest.mark.parametrize("variant", LENA_VARIANTS,
+                         ids=[f"vsynth_lena-ffv1{v}" for v in LENA_VARIANTS])
+def test_fate_lena_unreproducible(variant):
+    """The 7 vsynth_lena goldens need tests/lena.pnm, which the reference
+    repo does not distribute (FATE downloads it separately; it is absent
+    from /root/reference).  rotozoom.c falls back to reference.pnm without
+    it, producing vsynth2 — so the lena transcripts cannot be regenerated
+    here.  Skip explicitly rather than silently under-covering."""
+    if os.path.exists(os.path.join(REF_ROOT, "tests", "lena.pnm")):
+        pytest.fail("lena.pnm appeared — wire up the vsynth_lena goldens")
+    pytest.skip("asset missing: tests/lena.pnm is not distributed with the "
+                "reference; vsynth_lena-ffv1%s cannot be reproduced" % variant)
