@@ -243,12 +243,32 @@ class FFV2Encoder:
 
 
 class FFV2Decoder:
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, osd: bool = False):
         self.width = width
         self.height = height
         self.fmt: PixelFormat | None = None
+        self.osd = osd
+        self.last_qp = 0
+        self._frame_no = 0
 
     def decode(self, packet: bytes):
+        """Decode one packet; with osd=True, stamp the reference's debug
+        overlay into 8-bit luma (ffv2dec.c:357-371)."""
+        from .osd import OsdTimer, osd_lines, stamp_osd
+        with OsdTimer() as t:
+            out = self._decode(packet)
+        if self.osd:
+            from .. import __version__
+            ph = -(-self.height // SB) * SB
+            pw = -(-self.width // SB) * SB
+            stamp_osd(out[0], self.fmt.bits, osd_lines(
+                __version__, self.width, self.height, pw // SB, ph // SB,
+                self.fmt.name, self._frame_no, self._frame_no, len(packet),
+                t.ms, self.last_qp))
+        self._frame_no += 1
+        return out
+
+    def _decode(self, packet: bytes):
         d = DaalaDecoder(packet)
         subdiv = _subdiv_cdf()
 
@@ -257,7 +277,7 @@ class FFV2Decoder:
         if name is None:
             raise ValueError(f"unknown pix_fmt id {wire_id} in stream")
         self.fmt = get_pix_fmt(name)
-        qp = d.decode_golomb()
+        qp = self.last_qp = d.decode_golomb()
         pulse_cdf = _pulse_cdf(qp)
 
         nplanes = self.fmt.nb_planes

@@ -313,13 +313,34 @@ def _pad_px(plane, depth):
 
 
 class NativeFFV2Decoder:
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, osd: bool = False):
         self.width = width
         self.height = height
         self.fmt: PixelFormat | None = None
         self.lib = _bind(get_lib())
+        self.osd = osd
+        self.last_qp = 0
+        self._frame_no = 0
 
     def decode(self, packet: bytes):
+        """Decode one packet; with osd=True, stamp the reference's debug
+        overlay into 8-bit luma (ffv2dec.c:357-371)."""
+        from .osd import OsdTimer, osd_lines, stamp_osd
+        with OsdTimer() as t:
+            out = self._decode(packet)
+        if self.osd:
+            from .. import __version__
+            ph = -(-self.height // SB) * SB
+            pw = -(-self.width // SB) * SB
+            out = [np.ascontiguousarray(pl) for pl in out]
+            stamp_osd(out[0], self.fmt.bits, osd_lines(
+                __version__, self.width, self.height, pw // SB, ph // SB,
+                self.fmt.name, self._frame_no, self._frame_no, len(packet),
+                t.ms, self.last_qp))
+        self._frame_no += 1
+        return out
+
+    def _decode(self, packet: bytes):
         lib = self.lib
         buf = np.frombuffer(packet, dtype=np.uint8)
         h = lib.ffv2rt_dec_create(
@@ -330,7 +351,7 @@ class NativeFFV2Decoder:
             if name is None:
                 raise ValueError(f"unknown pix_fmt id {wire} in stream")
             self.fmt = get_pix_fmt(name)
-            qp = int(lib.ffv2rt_dec_golomb(h))
+            qp = self.last_qp = int(lib.ffv2rt_dec_golomb(h))
             bands = np.asarray(dsp.band_starts(SB), dtype=np.int32)
             lib.ffv2rt_dec_set_qp(
                 h, qp, bands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
