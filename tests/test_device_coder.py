@@ -1,0 +1,155 @@
+"""Device phase-B coder: stage oracles against the native planner."""
+
+import numpy as np
+import pytest
+
+from ffmpeg_ffv2_tpu.ffv1 import device_coder as dc
+from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+from ffmpeg_ffv2_tpu.ffv1.codec_py import SliceState
+
+
+def ref_put_symbol_ops(v, bits):
+    """Slot/bit sequence of put_symbol_inline for one value (no states)."""
+    ops = []
+    if v:
+        a = abs(v)
+        e = a.bit_length() - 1
+        ops.append((0, 0))
+        for i in range(e):
+            ops.append((1 + i, 1))
+        ops.append((1 + e, 0))
+        for i in range(e - 1, -1, -1):
+            ops.append((22 + i, (a >> i) & 1))
+        ops.append((11 + e, 1 if v < 0 else 0))
+    else:
+        ops.append((0, 1))
+    return ops
+
+
+@pytest.mark.parametrize("bits", [8, 9, 10])
+def test_emission_slots_match_reference(bits):
+    import jax.numpy as jnp
+    half = 1 << (bits - 1)
+    diffs = np.concatenate([
+        np.arange(-half, half, max(1, half // 64)), [-half, half - 1, 0, 1, -1]])
+    K = dc.k_max_for_bits(bits)
+    slot, bit, valid = dc.emission_slots(jnp.asarray(diffs, jnp.int32), K)
+    slot, bit, valid = map(np.asarray, (slot, bit, valid))
+    for j, v in enumerate(diffs):
+        ref = ref_put_symbol_ops(int(v), bits)
+        assert valid[j].sum() == len(ref)
+        got = list(zip(slot[j][valid[j]], bit[j][valid[j]]))
+        assert got == ref, f"v={v}"
+
+
+@pytest.mark.parametrize("bits", [8, 10])
+def test_slot_grid_matches_reference(bits):
+    import jax.numpy as jnp
+    half = 1 << (bits - 1)
+    diffs = np.concatenate([
+        np.arange(-half, half, max(1, half // 100)), [-half, half - 1, 0]])
+    valid, bit = dc.slot_bit_grid(jnp.asarray(diffs, jnp.int32))
+    valid, bit = np.asarray(valid), np.asarray(bit)
+    for j, v in enumerate(diffs):
+        ref = dict(ref_put_symbol_ops(int(v), bits))
+        assert set(np.nonzero(valid[j])[0]) == set(ref)
+        for s, b in ref.items():
+            assert bit[j, s] == b, f"v={v} slot={s}"
+
+
+def test_lookup_packed():
+    import jax.numpy as jnp
+    p = params_from_config(FFV1Config(level=3, coder=1), "yuv420p", 32, 32)
+    zero, one = dc.transition_tables(p)
+    tab = jnp.asarray(np.broadcast_to(dc.packed_transition_table(p), (4, 128)))
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 512, (4, 128)).astype(np.int32)
+    got = np.asarray(dc.lookup_packed(tab, jnp.asarray(idx)))
+    t2 = np.concatenate([zero, one]).astype(np.int32)
+    assert np.array_equal(got, t2[idx])
+
+
+def _native_plans(p, planes, keyframe=True):
+    """Per-slice (sv, bit) streams from the native planner (the oracle)."""
+    import ctypes
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec, get_lib
+    codec = NativeFFV1Codec(p)
+    lib = get_lib()
+    lib.ffv1rt_plan.restype = ctypes.c_int64
+    lib.ffv1rt_plan.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+    lib.ffv1rt_get_plan.restype = ctypes.c_int64
+    lib.ffv1rt_get_plan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    arrs = [np.ascontiguousarray(pl, dtype=np.int32) for pl in planes]
+    ptrs = (ctypes.c_void_p * len(arrs))(
+        *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs])
+    mx = lib.ffv1rt_plan(codec.handle, ptrs, 1 if keyframe else 0)
+    assert mx > 0
+    plans = []
+    for si in range(p.slice_count):
+        sv = np.empty(mx, dtype=np.uint8)
+        bt = np.empty(mx, dtype=np.uint8)
+        ln = lib.ffv1rt_get_plan(
+            codec.handle, si,
+            sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), mx)
+        plans.append((sv[:ln].copy(), bt[:ln].copy()))
+    return plans
+
+
+def _phase_a_streams(p, planes):
+    """Per-slice (ctx, pclass, diff) streams in coding order via the
+    device phase A."""
+    from ffmpeg_ffv2_tpu.ffv1.tpu_encoder import TPUFFV1Encoder
+    import jax.numpy as jnp
+    enc = TPUFFV1Encoder.__new__(TPUFFV1Encoder)   # reuse crop planner only
+    enc.p = p
+    plan = TPUFFV1Encoder._build_plan(enc)
+    from ffmpeg_ffv2_tpu.ffv1.tpu import lut_for, _wrap16, plane_context_diff
+    out = []
+    for si in range(p.slice_count):
+        ctxs, pcs, diffs = [], [], []
+        for li, prects in enumerate(plan):
+            pc = (li + 1) // 2
+            qt = lut_for(p, p.context_model)
+            five = bool(p.quant_tables[p.context_model][3][127]
+                        or p.quant_tables[p.context_model][4][127])
+            x, y, w, h = prects[si]
+            crop = np.asarray(planes[li])[y:y + h, x:x + w].astype(np.int32)
+            crop = np.asarray(_wrap16(jnp.asarray(crop)), dtype=np.int32)
+            ctx, diff = plane_context_diff(jnp.asarray(crop), qt, p.bits,
+                                           five)
+            ctxs.append(np.asarray(ctx).ravel())
+            pcs.append(np.full(w * h, pc, dtype=np.int32))
+            diffs.append(np.asarray(diff).ravel())
+        out.append((np.concatenate(ctxs), np.concatenate(pcs),
+                    np.concatenate(diffs)))
+    return out
+
+
+def test_oracle_stream_matches_native_plan():
+    rng = np.random.RandomState(7)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=1, slices=4)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    planes = [rng.randint(0, 256, (h, w)).astype(np.int32),
+              rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32),
+              rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32)]
+    plans = _native_plans(p, planes, keyframe=True)
+    streams = _phase_a_streams(p, planes)
+    rects = p.rects()
+    for si in range(p.slice_count):
+        ss = SliceState(p)
+        pre_sv, pre_bit = dc.plan_slice_prefix(p, ss, si, rects[si], True)
+        ctx, pc, diff = streams[si]
+        states = [np.full((n, 32), 128, dtype=np.uint8)
+                  for n in ss.plane_ctx_count]
+        body_sv, body_bit = dc.oracle_plane_ops(p, ctx, pc, diff, states)
+        sv = np.concatenate([pre_sv, body_sv, [dc.TERMINATOR_SV]])
+        bit = np.concatenate([pre_bit, body_bit, [0]])
+        nsv, nbit = plans[si]
+        assert len(sv) == len(nsv), f"slice {si}: {len(sv)} vs {len(nsv)}"
+        assert np.array_equal(sv, nsv), f"slice {si} sv mismatch"
+        assert np.array_equal(bit, nbit), f"slice {si} bit mismatch"
