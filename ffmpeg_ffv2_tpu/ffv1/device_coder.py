@@ -242,3 +242,553 @@ def oracle_plane_ops(p: FFV1Params, ctx_stream: np.ndarray,
         else:
             put(st, 0, 1)
     return np.array(svs, dtype=np.uint8), np.array(bits, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# lane/tile layout
+# ---------------------------------------------------------------------------
+#
+# Pixels are grouped by chain row (one stable sort), then each group becomes
+# a *lane*; groups longer than GCAP split into GCAP-sized sub-lanes.  Lanes
+# are ordered by (length desc, sub-block index asc, #sub-blocks desc) so
+#   * lane lengths are non-increasing -> a tile's row count ("cap") is its
+#     first lane's length and total cell rows stay ~N/128;
+#   * all sub-lanes of split groups sit in a leading region of uniform
+#     GCAP-length "buckets" (bucket k = every group's k-th sub-block),
+#     padded to 128-lane multiples, so sub-lane k+1 of a group sits exactly
+#     BUCKET_W lanes after sub-lane k: the tile processing it runs later in
+#     the sequential grid and reads the predecessor's 32 slot states from
+#     the carry buffer one fixed tile-stride back.
+#
+# Cells are laid out tile-major, row-major, 128 lanes per row:
+#   cell(lane, t) = (tile_base_rows[tile] + t) * 128 + lane_in_tile.
+
+GCAP = 4096          # max pixels per lane (sub-lane size for split groups)
+
+
+def _seg_bcast_max(flag, val):
+    """Broadcast val at flag positions forward over the array (the value
+    must be non-decreasing across flagged positions for plain cummax)."""
+    return jax.lax.cummax(jnp.where(flag, val, -1))
+
+
+def _seg_bcast_cummin(flag, val):
+    """Forward-broadcast val at flag positions when the flagged values are
+    non-increasing (the running min sticks to the latest flagged value)."""
+    return jax.lax.cummin(jnp.where(flag, val, jnp.iinfo(jnp.int32).max))
+
+
+def _next_start(flag):
+    """For each i, the smallest j > i with flag[j] (or N)."""
+    n = flag.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    nxt = jnp.where(flag, i, n)
+    rev = jax.lax.cummin(nxt[::-1])[::-1]
+    return jnp.concatenate([rev[1:], jnp.array([n], jnp.int32)])
+
+
+def layout_plan(chain_row, diff, orig, slots_cap: int, tiles_cap: int):
+    """Group-sort + lane/tile layout.  chain_row/diff/orig: flat int32 (N,).
+
+    Returns per-pixel cell channels/destinations, slot-indexed lane tables
+    and tile-indexed kernel tables (layout rules in the module docstring).
+    """
+    n = chain_row.shape[0]
+    i32 = jnp.int32
+    idx = jnp.arange(n, dtype=i32)
+
+    key1, diff_s, orig_s = jax.lax.sort(
+        (chain_row, diff, orig), num_keys=1, is_stable=True)
+
+    gstart = jnp.concatenate([jnp.ones(1, bool), key1[1:] != key1[:-1]])
+    start = _seg_bcast_max(gstart, idx)
+    gend_pos = _seg_bcast_max(gstart, _next_start(gstart))
+    size = gend_pos - start
+    r = idx - start                                   # rank within group
+    sb = r // GCAP                                    # sub-block index
+    lane_len = jnp.minimum(size - sb * GCAP, GCAP)
+    sort_len = jnp.minimum(size, GCAP)                # split groups pad
+    n_sb = (size + GCAP - 1) // GCAP
+
+    # lane ordering key: (len desc, sb asc, n_sb desc); fits 31 bits
+    key2 = (((GCAP - sort_len) << 18) | (sb << 9)
+            | (511 - jnp.minimum(n_sb, 511))).astype(i32)
+    lane_tag = (sb << 22) | start                     # unique per lane
+
+    gend = idx == gend_pos - 1
+    ch1 = ((diff_s + 2048) | (1 << 13) | (gend.astype(i32) << 14)).astype(i32)
+
+    _, ch1_s, orig2, tag_s, row_s, len_s, sb_s, nsb_s = jax.lax.sort(
+        (key2, ch1, orig_s, lane_tag, key1, lane_len, sb, n_sb),
+        num_keys=1, is_stable=True)
+
+    lstart = jnp.concatenate([jnp.ones(1, bool), tag_s[1:] != tag_s[:-1]])
+    t2 = idx - _seg_bcast_max(lstart, idx)
+
+    # ---- slot assignment ----------------------------------------------------
+    # Bucket region (a prefix of the sorted array): every lane whose sort
+    # length is GCAP, grouped by sub-block index sb.  Bucket k holds, in
+    # (n_sb desc, first-sort order), the k-th sub-lane of every group with
+    # n_sb > k, so a group's rank within its bucket is identical for all k
+    # (survivors of bucket k+1 are a prefix of bucket k).  Buckets start
+    # on fresh tiles; sub-lane k+1 therefore sits at the same column, in
+    # the tile exactly one bucket-span later, and the sequential TPU grid
+    # guarantees its predecessor's end states are already in the carry
+    # buffer.
+    is_bucket = (nsb_s > 1) | (len_s == GCAP)
+    blstart = lstart & is_bucket
+    bl = jnp.cumsum(blstart.astype(i32)) - 1          # bucket-lane index
+    seg_start = blstart & jnp.concatenate(
+        [jnp.ones(1, bool), sb_s[1:] != sb_s[:-1]])
+    rank_in_bucket = bl - _seg_bcast_max(seg_start, bl)
+
+    tile_mark = blstart & ((rank_in_bucket & 127) == 0)
+    tiles_incl = jnp.cumsum(tile_mark.astype(i32))    # padded tiles so far
+    bucket_base = _seg_bcast_max(seg_start, tiles_incl - 1)
+    shifted = jnp.concatenate([jnp.zeros(1, i32), bucket_base[:-1]])
+    prev_base = _seg_bcast_max(seg_start, shifted)    # previous bucket base
+
+    n_bucket_tiles = jnp.max(jnp.where(is_bucket, tiles_incl, 0))
+    n_norm_before = jnp.cumsum((lstart & ~is_bucket).astype(i32)) - 1
+    slot = jnp.where(is_bucket,
+                     (bucket_base << 7) + rank_in_bucket,
+                     (n_bucket_tiles << 7) + n_norm_before)
+    slot_b = _seg_bcast_max(lstart, slot)
+
+    lane_in_tile = slot_b & 127
+    tile = slot_b >> 7
+    tile_first = lstart & jnp.concatenate(
+        [jnp.ones(1, bool), tile[1:] != tile[:-1]])
+
+    cap_here = jnp.where(is_bucket, GCAP, len_s)
+    capT = _seg_bcast_cummin(tile_first, cap_here)
+    base = jnp.cumsum(jnp.where(tile_first, capT, 0)) - capT
+    dest = ((base + t2) << 7) | lane_in_tile
+
+    # ---- kernel tables -------------------------------------------------------
+    drop = jnp.iinfo(i32).max                  # out-of-range scatter = drop
+    tdx = jnp.where(tile_first, tile, drop)
+    tile_caps = jnp.zeros(tiles_cap, i32).at[tdx].set(
+        capT, mode="drop", unique_indices=True)
+    tile_bases = jnp.zeros(tiles_cap, i32).at[tdx].set(
+        base, mode="drop", unique_indices=True)
+    # carry predecessor: same column, one bucket-span of tiles back
+    pred = jnp.where(is_bucket & (sb_s > 0),
+                     tile - (bucket_base - prev_base), -1)
+    tile_pred = jnp.full(tiles_cap, -1, i32).at[tdx].set(
+        pred, mode="drop", unique_indices=True)
+
+    ldx = jnp.where(lstart, slot_b, drop)
+    lane_rows = jnp.zeros(slots_cap, i32).at[ldx].set(
+        row_s, mode="drop", unique_indices=True)
+    lane_cont = jnp.zeros(slots_cap, i32).at[ldx].set(
+        (sb_s > 0).astype(i32), mode="drop", unique_indices=True)
+    lane_last = jnp.zeros(slots_cap, i32).at[ldx].set(
+        (sb_s == nsb_s - 1).astype(i32), mode="drop", unique_indices=True)
+
+    return dict(ch1=ch1_s, orig=orig2, dest=dest,
+                tile_caps=tile_caps, tile_bases=tile_bases,
+                tile_pred=tile_pred, lane_rows=lane_rows,
+                lane_cont=lane_cont, lane_last=lane_last,
+                n_rows=jnp.max(base + capT))
+
+
+def scatter_cells(plan, cellrows_cap: int):
+    """Scatter the two cell channels into the tile-major layout."""
+    cells = cellrows_cap * 128
+    ch1 = jnp.zeros(cells, jnp.int32).at[plan["dest"]].set(
+        plan["ch1"], mode="drop", unique_indices=True)
+    ch2 = jnp.zeros(cells, jnp.int32).at[plan["dest"]].set(
+        plan["orig"], mode="drop", unique_indices=True)
+    return ch1.reshape(cellrows_cap, 128), ch2.reshape(cellrows_cap, 128)
+
+
+# ---------------------------------------------------------------------------
+# adapt walk — XLA reference (CPU/dryrun); mirrors the pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
+                    s0_blocks, packed_table, tiles_cap: int):
+    """Row-scan reference of the adapt kernel (CPU/dryrun path).
+
+    ch1_cells: (CELLROWS, 128) int32 cell channel; s0_blocks:
+    (TILES_CAP, 33, 128) int32 — 32 slot-state rows plus row 32 = per-lane
+    continuation flag.  Returns (sv_cells (CELLROWS, 32, 128) uint8,
+    end_states (TILES_CAP, 32, 128) int32 — each tile's lane states after
+    its last row; for split groups these carry to the successor tile).
+
+    Semantics mirror the pallas kernel exactly: rows scan sequentially; at
+    a tile's base row the previous tile's states flush to the carry buffer
+    and the new tile loads s0 (or carry[pred] for continuation lanes).  A
+    lane's state freezes after its last valid pixel, so the tile-end state
+    IS the lane/group end state.
+    """
+    cellrows = ch1_cells.shape[0]
+    i32 = jnp.int32
+
+    starts = jnp.full(cellrows, -1, i32)
+    tidx = jnp.arange(tiles_cap, dtype=i32)
+    valid_tile = tile_caps > 0
+    starts = starts.at[jnp.where(valid_tile, tile_bases, cellrows)].set(
+        jnp.where(valid_tile, tidx, -1), mode="drop")
+
+    table = jnp.broadcast_to(packed_table, (32, 128))
+
+    def flush(carrybuf, cur_tile, s):
+        return jax.lax.cond(
+            cur_tile >= 0,
+            lambda cb: jax.lax.dynamic_update_slice(
+                cb, s[None], (jnp.maximum(cur_tile, 0), 0, 0)),
+            lambda cb: cb, carrybuf)
+
+    def step(carry, xs):
+        s, cur_tile, carrybuf = carry
+        row, tile_here = xs
+        is_start = tile_here >= 0
+        carrybuf = jax.lax.cond(
+            is_start, lambda cb: flush(cb, cur_tile, s),
+            lambda cb: cb, carrybuf)
+
+        def load(_):
+            t = jnp.maximum(tile_here, 0)
+            blk = jax.lax.dynamic_slice(
+                s0_blocks, (t, 0, 0), (1, 33, 128))[0]
+            pr = tile_pred[t]
+            prblk = jax.lax.dynamic_slice(
+                carrybuf, (jnp.maximum(pr, 0), 0, 0), (1, 32, 128))[0]
+            cont = (blk[32:33] > 0) & (pr >= 0)
+            return jnp.where(cont, prblk, blk[:32])
+        s = jax.lax.cond(is_start, load, lambda _: s, None)
+        cur_tile = jnp.where(is_start, tile_here, cur_tile)
+
+        v = (row & 0xFFF) - 2048
+        valid_px = ((row >> 13) & 1) == 1
+        valid, bit = slot_bit_grid(v)            # (128, 32)
+        valid = (valid & valid_px[:, None]).transpose(1, 0)
+        bit = bit.transpose(1, 0)
+        sv = jnp.where(valid, s, 0).astype(jnp.uint8)
+        idx9 = jnp.where(bit != 0, 256 + s, s)
+        ns = lookup_packed(table, idx9)
+        s = jnp.where(valid, ns, s)
+        return (s, cur_tile, carrybuf), sv
+
+    s_init = jnp.full((32, 128), 128, i32)
+    carrybuf = jnp.zeros((tiles_cap, 32, 128), i32)
+    (s, cur_tile, carrybuf), sv_cells = jax.lax.scan(
+        step, (s_init, -1, carrybuf), (ch1_cells, starts))
+    carrybuf = flush(carrybuf, cur_tile, s)
+    return sv_cells, carrybuf
+
+
+def build_s0_blocks(plan, canonical, tiles_cap: int):
+    """(TILES_CAP, 33, 128) int32 start-state blocks from the canonical
+    per-chain state table ((rows, 32) uint8): row 32 = continuation flag."""
+    rows = plan["lane_rows"].reshape(tiles_cap, 128)
+    cont = plan["lane_cont"].reshape(tiles_cap, 128)
+    s0 = jnp.take(canonical.astype(jnp.int32), rows, axis=0)  # (T,128,32)
+    s0 = s0.transpose(0, 2, 1)                                 # (T,32,128)
+    return jnp.concatenate([s0, cont[:, None, :]], axis=1)
+
+
+def writeback_canonical(plan, canonical, end_states, tiles_cap: int):
+    """Store group-end states back into the canonical table for the next
+    (inter) frame; only lanes holding their group's last sub-block write."""
+    rows = plan["lane_rows"].reshape(tiles_cap * 128)
+    last = plan["lane_last"].reshape(tiles_cap * 128) > 0
+    ends = end_states.transpose(0, 2, 1).reshape(tiles_cap * 128, 32)
+    tgt = jnp.where(last, rows, jnp.iinfo(jnp.int32).max)
+    return canonical.at[tgt].set(ends.astype(jnp.uint8), mode="drop",
+                                 unique_indices=True)
+
+
+# ---------------------------------------------------------------------------
+# masked-stream compaction (XLA shift-merge; pallas variant for the chip)
+# ---------------------------------------------------------------------------
+
+
+def shift_compact(channels, valid, dest, out_len: int):
+    """Stable left-compaction along axis -1.
+
+    channels: list of (..., M) int32; valid: (..., M) bool; dest: (..., M)
+    int32 target index (strictly increasing over valid elements per row,
+    dest <= index).  Returns list of (..., out_len) with invalid slots 0.
+
+    Log-shift algorithm: process delta bits low to high; with monotone
+    destinations the partial shifts never collide (order-preserving:
+    masked-delta differences are bounded by index differences).
+    """
+    m = channels[0].shape[-1]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    delta = jnp.where(valid, idx - dest, 0)
+    arrs = [jnp.where(valid, c, 0) for c in channels]
+    val = valid
+    nbits = max(1, int(m - 1).bit_length())
+    for b in range(nbits):
+        step = 1 << b
+        move = val & (((delta >> b) & 1) == 1)
+
+        def shl(a, fill=0):
+            pad = jnp.full(a.shape[:-1] + (step,), fill, a.dtype)
+            return jnp.concatenate([a[..., step:], pad], axis=-1)
+
+        move_in = shl(move, False)
+        arrs = [jnp.where(move_in, shl(a), jnp.where(move, 0, a))
+                for a in arrs]
+        delta = jnp.where(move_in, shl(delta) - step,
+                          jnp.where(move, 0, delta))
+        val = jnp.where(move_in, True, val & ~move)
+
+    def fit(a, fill):
+        if m >= out_len:
+            return a[..., :out_len]
+        pad = jnp.full(a.shape[:-1] + (out_len - m,), fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=-1)
+
+    return [fit(a, 0) for a in arrs], fit(val, False)
+
+
+# ---------------------------------------------------------------------------
+# full-device encoder session
+# ---------------------------------------------------------------------------
+
+MODE_NOP, MODE_OP, MODE_FLUSH1, MODE_FLUSH2 = 0, 1, 2, 3
+
+
+class DeviceFFV1Encoder:
+    """FFV1 encode with phase A *and* phase B on the device.
+
+    v1 scope: version 3, range coder (ac 1/2), YUV/gray, bits <= 10,
+    uniform slice crops.  use_pallas=False runs the XLA reference path
+    (CPU-testable; also the multichip dryrun path).
+    """
+
+    def __init__(self, width: int, height: int, pix_fmt: str,
+                 config: FFV1Config | None = None, use_pallas: bool = True):
+        self.cfg = config or FFV1Config()
+        p = self.p = params_from_config(self.cfg, pix_fmt, width, height)
+        if p.version != 3:
+            raise NotImplementedError("device coder: version 3 only")
+        if p.ac == CODER_GOLOMB:
+            raise NotImplementedError("device coder: range modes only")
+        if p.bits > 10:
+            raise NotImplementedError("device coder: bits <= 10 "
+                                      "(no slot repeats per pixel)")
+        if p.colorspace != 0:
+            raise NotImplementedError("device coder: YUV/gray only")
+        if p.initial_states is not None:
+            raise NotImplementedError("device coder: custom initial states")
+        self.use_pallas = use_pallas
+        self.k_max = k_max_for_bits(p.bits)
+
+        # crop plan (one rect per (plane, slice)); uniform shapes required
+        from .tpu_encoder import TPUFFV1Encoder
+        from .tpu import lut_for
+        shell = TPUFFV1Encoder.__new__(TPUFFV1Encoder)
+        shell.p = p
+        self.crop_plan = TPUFFV1Encoder._build_plan(shell)
+        for prects in self.crop_plan:
+            if len({(w, h) for (_, _, w, h) in prects}) != 1:
+                raise NotImplementedError("device coder: slice crops must "
+                                          "be uniform across slices")
+        self.qt = lut_for(p, p.context_model)
+        self.five = bool(p.quant_tables[p.context_model][3][127]
+                         or p.quant_tables[p.context_model][4][127])
+
+        # stream structure: planes concatenated per slice
+        n_planes = len(self.crop_plan)
+        self.plane_sizes = [prects[0][2] * prects[0][3]
+                            for prects in self.crop_plan]
+        self.npix = int(np.sum(self.plane_sizes))
+        pclass = np.concatenate([
+            np.full(sz, (li + 1) // 2, np.int32)
+            for li, sz in enumerate(self.plane_sizes)])
+        ss = SliceState(p)
+        self.class_counts = ss.plane_ctx_count        # per plane_count
+        class_off = np.zeros(p.plane_count, np.int32)
+        class_off[1:] = np.cumsum(self.class_counts[:-1])
+        self.rows_per_slice = int(np.sum(self.class_counts))
+        self.class_off_stream = class_off[pclass]     # (npix,) int32
+
+        n = p.slice_count * self.npix
+        self.n = n
+        self.n_chain_rows = p.slice_count * self.rows_per_slice
+        self.tiles_cap = (n // GCAP + self.npix // GCAP
+                          + self.n_chain_rows // 128 + 8)
+        self.slots_cap = self.tiles_cap * 128
+        self.cellrows_cap = (n // 128 + 2 * GCAP + self.tiles_cap + 128)
+        self.ev_cap = self.npix * self.k_max + 128
+
+        self.table = packed_transition_table(p)
+        self.canonical = jnp.full((self.n_chain_rows + 1, 32), 128,
+                                  jnp.uint8)
+        self.extradata = H.write_extradata(p)
+
+        # host-planned per-slice prefixes (constant per keyframe flag)
+        rects = p.rects()
+        self.prefix = {}
+        for key in (True, False):
+            svs, bits = [], []
+            for si in range(p.slice_count):
+                sv, bit = plan_slice_prefix(p, SliceState(p), si, rects[si],
+                                            key)
+                svs.append(sv)
+                bits.append(bit)
+            hmax = max(len(s) for s in svs)
+            svp = np.zeros((p.slice_count, hmax), np.int32)
+            btp = np.zeros((p.slice_count, hmax), np.int32)
+            for si, (s, b) in enumerate(zip(svs, bits)):
+                svp[si, :len(s)] = s
+                btp[si, :len(b)] = b
+            hlen = np.array([len(s) for s in svs], np.int32)
+            self.prefix[key] = (jnp.asarray(svp), jnp.asarray(btp),
+                                jnp.asarray(hlen))
+        self.picture_number = 0
+
+    # -- jitted pipeline stages --------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _phase_a(self, planes):
+        """planes (device) -> per-slice streams (ctx, diff) int32
+        (n_slices, npix) in coding order."""
+        from .tpu import plane_context_diff, _wrap16
+        p = self.p
+        ctx_parts, diff_parts = [], []
+        for li, prects in enumerate(self.crop_plan):
+            x0, y0, w, h = prects[0][0], prects[0][1], prects[0][2], prects[0][3]
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(planes[li], (y, x), (h, w))
+                for (x, y, w, h) in prects])
+            crops = _wrap16(crops.astype(jnp.int32))
+            fn = functools.partial(plane_context_diff, qt=self.qt,
+                                   bits=p.bits, five=self.five)
+            ctx, diff = jax.vmap(fn)(crops)
+            ctx_parts.append(ctx.reshape(p.slice_count, -1))
+            diff_parts.append(diff.reshape(p.slice_count, -1))
+        return (jnp.concatenate(ctx_parts, axis=1),
+                jnp.concatenate(diff_parts, axis=1))
+
+    @functools.partial(jax.jit, static_argnames=("self", "keyframe"))
+    def _pipeline(self, planes, canonical, keyframe: bool):
+        p = self.p
+        n_slices = p.slice_count
+        ctx, diff = self._phase_a(planes)
+
+        slice_ids = jnp.arange(n_slices, dtype=jnp.int32)[:, None]
+        chain_row = (slice_ids * self.rows_per_slice
+                     + jnp.asarray(self.class_off_stream)[None, :] + ctx)
+        orig = (slice_ids * self.npix
+                + jnp.arange(self.npix, dtype=jnp.int32)[None, :])
+
+        plan = layout_plan(chain_row.reshape(-1), diff.reshape(-1),
+                           orig.reshape(-1), self.slots_cap, self.tiles_cap)
+        ch1c, _ = scatter_cells(plan, self.cellrows_cap)
+
+        if keyframe:
+            canonical = jnp.full_like(canonical, 128)
+        s0 = build_s0_blocks(plan, canonical, self.tiles_cap)
+
+        sv_cells, ends = self._adapt(ch1c, plan, s0)
+        canonical = writeback_canonical(plan, canonical, ends,
+                                        self.tiles_cap)
+
+        # cells -> stream order: pack each cell's 32 state bytes into 8
+        # words and ride one sort keyed by original stream position
+        cr = self.cellrows_cap
+        svb = sv_cells.transpose(0, 2, 1).reshape(cr * 128, 32)
+        svb = svb.astype(jnp.int32)
+        words = [(svb[:, 4 * j] | (svb[:, 4 * j + 1] << 8)
+                  | (svb[:, 4 * j + 2] << 16) | (svb[:, 4 * j + 3] << 24))
+                 for j in range(8)]
+        big = jnp.iinfo(jnp.int32).max
+        keys = jnp.full(cr * 128, big, jnp.int32).at[plan["dest"]].set(
+            plan["orig"], mode="drop", unique_indices=True)
+        sorted_ops = jax.lax.sort((keys, *words), num_keys=1,
+                                  is_stable=True)
+        words_n = [w[:self.n].reshape(n_slices, self.npix)
+                   for w in sorted_ops[1:]]
+
+        # emission-order (sv, bit) grid per pixel
+        slot, bit, valid = emission_slots(diff, self.k_max)
+        wsel = slot >> 2
+        sv_em = jnp.zeros_like(slot)
+        for j in range(8):
+            sv_em = jnp.where(wsel == j, words_n[j][..., None], sv_em)
+        sv_em = (sv_em >> ((slot & 3) * 8)) & 0xFF
+
+        # compact to per-slice op streams, after the host-planned prefix
+        svp, btp, hlen = self.prefix[keyframe]
+        koff = jnp.cumsum(event_count(diff), axis=1)
+        off = (hlen[:, None, None] + (koff - event_count(diff))[..., None]
+               + jnp.arange(self.k_max, dtype=jnp.int32)[None, None, :])
+        # left-pad by the max header length so every destination (which
+        # includes the header offset) stays <= its source index
+        hpad = int(svp.shape[1])
+        m = hpad + self.npix * self.k_max
+
+        def lpad(a, fill=0):
+            return jnp.concatenate(
+                [jnp.full((n_slices, hpad), fill, a.dtype),
+                 a.reshape(n_slices, -1)], axis=1)
+
+        (sv_st, bit_st), vmask = shift_compact(
+            [lpad(sv_em), lpad(bit)], lpad(valid, False),
+            lpad(off), self.ev_cap)
+
+        # overlay prefix ops and the terminator / flush tail
+        pos = jnp.arange(self.ev_cap, dtype=jnp.int32)[None, :]
+        in_hdr = pos < hlen[:, None]
+        hsv = jnp.pad(svp, ((0, 0), (0, max(0, self.ev_cap - svp.shape[1])))
+                      )[:, :self.ev_cap]
+        hbt = jnp.pad(btp, ((0, 0), (0, max(0, self.ev_cap - btp.shape[1])))
+                      )[:, :self.ev_cap]
+        sv_st = jnp.where(in_hdr, hsv, sv_st)
+        bit_st = jnp.where(in_hdr, hbt, bit_st)
+        total = hlen[:, None] + koff[:, -1:]
+        term = pos == total
+        sv_st = jnp.where(term, TERMINATOR_SV, sv_st)
+        bit_st = jnp.where(term, 0, bit_st)
+        mode = jnp.where(in_hdr | vmask | term, MODE_OP,
+                         jnp.where(pos == total + 1, MODE_FLUSH1,
+                                   jnp.where(pos == total + 2, MODE_FLUSH2,
+                                             MODE_NOP)))
+        n_ops = total[:, 0] + 3
+        return sv_st, bit_st, mode, n_ops, canonical
+
+    def _adapt(self, ch1c, plan, s0):
+        return adapt_reference(ch1c, plan["tile_caps"], plan["tile_bases"],
+                               plan["tile_pred"], s0,
+                               jnp.asarray(self.table), self.tiles_cap)
+
+    # -- public API -----------------------------------------------------------
+
+    def encode(self, planes, force_keyframe=None) -> bytes:
+        from .tpu_coder import rac_scan_lanes, compact_lane, \
+            MODE_OP as _MO
+        p = self.p
+        gop = self.cfg.gop_size
+        keyframe = (gop == 0 or self.picture_number % gop == 0)
+        if force_keyframe is not None:
+            keyframe = bool(force_keyframe)
+        dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
+        sv, bit, mode, n_ops, self.canonical = self._pipeline(
+            dev, self.canonical, keyframe)
+        # arithmetic coding: steps x lanes
+        steps = int(np.max(np.asarray(n_ops)))
+        sv = np.asarray(sv)[:, :steps].T.astype(np.int32)
+        bit = np.asarray(bit)[:, :steps].T.astype(np.int32)
+        mode = np.asarray(mode)[:, :steps].T.astype(np.int32)
+        first, fcount, fval = (np.asarray(a) for a in rac_scan_lanes(
+            jnp.asarray(sv), jnp.asarray(bit), jnp.asarray(mode)))
+        chunks = []
+        for si in range(p.slice_count):
+            data = compact_lane(first[:, si], fcount[:, si], fval[:, si])
+            if si > 0 or p.version > 2:
+                assert len(data) < (1 << 24)
+                data += len(data).to_bytes(3, "big")
+                if p.ec:
+                    data += b"\x00"
+                    data += crc32_trailer(data)
+            chunks.append(data)
+        self.picture_number += 1
+        return b"".join(chunks)

@@ -153,3 +153,35 @@ def test_oracle_stream_matches_native_plan():
         assert len(sv) == len(nsv), f"slice {si}: {len(sv)} vs {len(nsv)}"
         assert np.array_equal(sv, nsv), f"slice {si} sv mismatch"
         assert np.array_equal(bit, nbit), f"slice {si} bit mismatch"
+
+
+@pytest.mark.parametrize("pix,wh,coder", [
+    ("yuv420p", (64, 48), 1),
+    ("yuv420p", (64, 48), -2),          # default-table range coder
+    ("gray", (48, 32), 1),
+    ("yuv422p10", (32, 32), 1),
+])
+def test_device_encoder_byte_exact(pix, wh, coder):
+    """Full XLA device pipeline == native packets, key + inter frames."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(11)
+    w, h = wh
+    cfg = FFV1Config(level=3, coder=coder, slices=4)
+    p = params_from_config(cfg, pix, w, h)
+    dev = DeviceFFV1Encoder(w, h, pix, cfg, use_pallas=False)
+    nat = NativeFFV1Codec(p)
+    mx = (1 << p.bits) - 1
+    shapes = [(h, w)]
+    if p.chroma_planes:
+        shapes += [(h >> p.chroma_v_shift, w >> p.chroma_h_shift)] * 2
+    for t in range(4):
+        # mix of noisy and flat content (flat exercises mega-group lanes)
+        planes = [rng.randint(0, mx + 1, s).astype(np.int32) for s in shapes]
+        if t == 2:
+            planes = [np.full(s, 100, np.int32) for s in shapes]
+        key = t % 3 == 0
+        pkt_dev = dev.encode(planes, force_keyframe=key)
+        pkt_nat = nat.encode(planes, key)
+        assert pkt_dev == pkt_nat, f"frame {t} packet mismatch " \
+            f"({len(pkt_dev)} vs {len(pkt_nat)} bytes)"
