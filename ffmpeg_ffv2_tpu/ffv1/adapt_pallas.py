@@ -1,0 +1,164 @@
+"""Pallas adapt kernel: the FFV1 state-table walk on the TPU core.
+
+Same semantics as device_coder.adapt_reference (which is the CPU/dryrun
+path): the grid iterates tiles sequentially; each tile walks its cell rows
+(cap from the scalar-prefetched tile tables), keeping the 128 lanes' 32
+slot states as a (32, 128) register carry.  One lanewise dynamic gather
+from the packed zero/one transition tables resolves all 4096 state
+transitions per row.  Split groups hand their states to the successor
+sub-lane through an HBM carry buffer: tile i writes its end states to
+carry[i] with a *waited* manual DMA before the grid step ends, so a later
+tile's read of carry[pred] (also manual) observes final data — pred may
+be as close as the immediately preceding grid step, which rules out the
+pipelined output-DMA path.
+
+Rows past a tile's cap inside its last chunk belong to the NEXT tile:
+their state updates are masked, and the garbage sv bytes the chunk DMA
+writes there are overwritten when the later tile writes its own rows
+(the grid runs tiles in order on the single core).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .device_coder import lookup_packed
+
+CHUNK = 512
+
+
+def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
+            ch1_hbm, s0_ref, table_ref, carry_alias,
+            sv_hbm, carry_hbm,
+            in_scr, out_scr, carry_scr, dma_sems):
+    i = pl.program_id(0)
+    cap = caps_ref[i]
+    base = bases_ref[i]
+    pred = preds_ref[i]
+
+    @pl.when(cap > 0)
+    def _tile():
+        table = jnp.broadcast_to(table_ref[0, :], (32, 128))
+
+        @pl.when(pred >= 0)
+        def _load_pred():
+            cp = pltpu.make_async_copy(
+                carry_hbm.at[pl.ds(jnp.maximum(pred, 0), 1)],
+                carry_scr, dma_sems.at[0])
+            cp.start()
+            cp.wait()
+
+        s0blk = s0_ref[0]                         # (33, 128)
+        cont = (s0blk[32:33, :] > 0) & (pred >= 0)
+        s_init = jnp.where(cont, carry_scr[0], s0blk[:32, :])
+
+        nchunks = pl.cdiv(cap, CHUNK)
+
+        def chunk_body(c, s):
+            row0 = base + c * CHUNK
+            cp_in = pltpu.make_async_copy(
+                ch1_hbm.at[pl.ds(row0, CHUNK)], in_scr, dma_sems.at[1])
+            cp_in.start()
+            cp_in.wait()
+
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+
+            def step(t, s):
+                # all masks int32 in (32, 128) — Mosaic cannot reshape or
+                # transpose 1-bit vectors, so booleans appear only in the
+                # final selects (2-D comparisons, no layout changes)
+                row = in_scr[t, :]
+                okpx = (row >> 13) & 1
+                okpx = okpx * ((c * CHUNK + t) < cap).astype(jnp.int32)
+                v = jnp.broadcast_to(((row & 0xFFF) - 2048)[None, :],
+                                     (32, 128))
+                okpx = jnp.broadcast_to(okpx[None, :], (32, 128))
+                a = jnp.abs(v)
+                f = a.astype(jnp.float32)
+                e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+                nz = (v != 0).astype(jnp.int32)
+                is0 = (slot_ids == 0).astype(jnp.int32)
+                isexp = ((slot_ids >= 1) & (slot_ids <= e + 1)) \
+                    .astype(jnp.int32)
+                ismant = ((slot_ids >= 22) & (slot_ids <= 21 + e)) \
+                    .astype(jnp.int32)
+                issign = (slot_ids == 11 + e).astype(jnp.int32)
+                valid = (is0 | (nz & (isexp | ismant | issign))) & okpx
+                bit = (is0 * (1 - nz)
+                       + isexp * (slot_ids <= e).astype(jnp.int32)
+                       + ismant * ((a >> jnp.maximum(slot_ids - 22, 0)) & 1)
+                       + issign * (v < 0).astype(jnp.int32))
+                vb = valid != 0
+                out_scr[t] = jnp.where(vb, s, 0).astype(jnp.int8)
+                idx9 = bit * 256 + s
+                ns = lookup_packed(table, idx9)
+                return jnp.where(vb, ns, s)
+
+            s = jax.lax.fori_loop(0, CHUNK, step, s)
+            cp_out = pltpu.make_async_copy(
+                out_scr, sv_hbm.at[pl.ds(row0, CHUNK)], dma_sems.at[2])
+            cp_out.start()
+            cp_out.wait()
+            return s
+
+        s_end = jax.lax.fori_loop(0, nchunks, chunk_body, s_init)
+
+        carry_scr[0] = s_end
+        cp_c = pltpu.make_async_copy(
+            carry_scr, carry_hbm.at[pl.ds(i, 1)], dma_sems.at[0])
+        cp_c.start()
+        cp_c.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_cap", "cellrows_cap",
+                                    "interpret"))
+def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
+                 packed_table, tiles_cap: int, cellrows_cap: int,
+                 interpret: bool = False):
+    """Same contract as device_coder.adapt_reference.
+
+    Returns (sv_cells (CELLROWS_CAP, 32, 128) uint8, end_states
+    (TILES_CAP, 32, 128) int32).  cellrows_cap must leave >= CHUNK rows of
+    slack past the last tile (device_coder sizes it so)."""
+    carry0 = jnp.zeros((tiles_cap, 32, 128), jnp.int32)
+    table = packed_table.reshape(1, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tiles_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # ch1 cells
+            pl.BlockSpec((1, 33, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # s0 blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # table
+            pl.BlockSpec(memory_space=pl.ANY),           # carry alias
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),           # sv cells
+            pl.BlockSpec(memory_space=pl.ANY),           # carry
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, 32, 128), jnp.int8),
+            pltpu.VMEM((1, 32, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    sv, carry = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, 32, 128), jnp.int8),
+                   jax.ShapeDtypeStruct((tiles_cap, 32, 128), jnp.int32)),
+        input_output_aliases={6: 1},     # carry buffer in == out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_caps, tile_bases, tile_pred,
+      ch1_cells, s0_blocks, table, carry0)
+    return sv.astype(jnp.uint8), carry

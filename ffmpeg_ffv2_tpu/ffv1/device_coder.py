@@ -613,10 +613,15 @@ class DeviceFFV1Encoder:
         n = p.slice_count * self.npix
         self.n = n
         self.n_chain_rows = p.slice_count * self.rows_per_slice
-        self.tiles_cap = (n // GCAP + self.npix // GCAP
+        # bucket k = the k-th GCAP-sub-lane of every split group; up to
+        # npix/GCAP + 1 buckets, and each bucket's final partial tile can
+        # cost a full GCAP of rows on its own
+        n_buckets = self.npix // GCAP + 2
+        self.tiles_cap = (n // GCAP + 2 * n_buckets
                           + self.n_chain_rows // 128 + 8)
         self.slots_cap = self.tiles_cap * 128
-        self.cellrows_cap = (n // 128 + 2 * GCAP + self.tiles_cap + 128)
+        self.cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
+                             + self.tiles_cap + 128)
         self.ev_cap = self.npix * self.k_max + 128
 
         self.table = packed_transition_table(p)
@@ -756,6 +761,13 @@ class DeviceFFV1Encoder:
         return sv_st, bit_st, mode, n_ops, canonical
 
     def _adapt(self, ch1c, plan, s0):
+        if self.use_pallas:
+            from .adapt_pallas import adapt_pallas
+            return adapt_pallas(
+                ch1c, plan["tile_caps"], plan["tile_bases"],
+                plan["tile_pred"], s0, jnp.asarray(self.table),
+                self.tiles_cap, self.cellrows_cap,
+                interpret=jax.default_backend() != "tpu")
         return adapt_reference(ch1c, plan["tile_caps"], plan["tile_bases"],
                                plan["tile_pred"], s0,
                                jnp.asarray(self.table), self.tiles_cap)

@@ -185,3 +185,49 @@ def test_device_encoder_byte_exact(pix, wh, coder):
         pkt_nat = nat.encode(planes, key)
         assert pkt_dev == pkt_nat, f"frame {t} packet mismatch " \
             f"({len(pkt_dev)} vs {len(pkt_nat)} bytes)"
+
+
+def test_adapt_pallas_interpret_matches_reference():
+    """Pallas kernel (interpret mode on CPU) == XLA reference walk."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    rng = np.random.RandomState(5)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=1, slices=4)
+    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=True)
+    nat_dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    for t in range(3):
+        planes = [rng.randint(0, 256, s).astype(np.int32) for s in shapes]
+        if t == 1:
+            planes = [np.full(s, 42, np.int32) for s in shapes]
+        a = dev.encode(planes, force_keyframe=(t == 0))
+        b = nat_dev.encode(planes, force_keyframe=(t == 0))
+        assert a == b, f"frame {t}"
+
+
+def test_device_encoder_mega_groups_small_gcap(monkeypatch):
+    """Exercise split groups / bucket carry on CPU via a tiny GCAP."""
+    import ffmpeg_ffv2_tpu.ffv1.device_coder as dcmod
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    monkeypatch.setattr(dcmod, "GCAP", 64)
+    rng = np.random.RandomState(3)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=1, slices=4)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    dev = dcmod.DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
+    nat = NativeFFV1Codec(p)
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    for t in range(4):
+        # gradient + sparse noise -> few large context groups (mega lanes)
+        planes = []
+        for (hh, ww) in shapes:
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            pl_ = ((xx // 8 * 8 + t * 5) % 256).astype(np.int32)
+            if t != 2:
+                mask = rng.rand(hh, ww) < 0.05
+                pl_ = np.where(mask, rng.randint(0, 256, (hh, ww)), pl_)
+            planes.append(pl_.astype(np.int32))
+        key = t % 3 == 0
+        a = dev.encode(planes, force_keyframe=key)
+        b = nat.encode(planes, key)
+        assert a == b, f"frame {t}"
