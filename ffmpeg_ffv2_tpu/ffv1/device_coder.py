@@ -435,31 +435,29 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
 
     table = jnp.broadcast_to(packed_table, (32, 128))
 
-    def flush(carrybuf, cur_tile, s):
-        return jax.lax.cond(
-            cur_tile >= 0,
-            lambda cb: jax.lax.dynamic_update_slice(
-                cb, s[None], (jnp.maximum(cur_tile, 0), 0, 0)),
-            lambda cb: cb, carrybuf)
+    def flush(carrybuf, cur_tile, s, do):
+        # branch-free (conditionals would trip shard_map's varying-axes
+        # typing): write the slot unconditionally but re-write the old
+        # content when disabled
+        t = jnp.maximum(cur_tile, 0)
+        old = jax.lax.dynamic_slice(carrybuf, (t, 0, 0), (1, 32, 128))[0]
+        newv = jnp.where(do & (cur_tile >= 0), s, old)
+        return jax.lax.dynamic_update_slice(carrybuf, newv[None], (t, 0, 0))
 
     def step(carry, xs):
         s, cur_tile, carrybuf = carry
         row, tile_here = xs
         is_start = tile_here >= 0
-        carrybuf = jax.lax.cond(
-            is_start, lambda cb: flush(cb, cur_tile, s),
-            lambda cb: cb, carrybuf)
+        carrybuf = flush(carrybuf, cur_tile, s, is_start)
 
-        def load(_):
-            t = jnp.maximum(tile_here, 0)
-            blk = jax.lax.dynamic_slice(
-                s0_blocks, (t, 0, 0), (1, 33, 128))[0]
-            pr = tile_pred[t]
-            prblk = jax.lax.dynamic_slice(
-                carrybuf, (jnp.maximum(pr, 0), 0, 0), (1, 32, 128))[0]
-            cont = (blk[32:33] > 0) & (pr >= 0)
-            return jnp.where(cont, prblk, blk[:32])
-        s = jax.lax.cond(is_start, load, lambda _: s, None)
+        t = jnp.maximum(tile_here, 0)
+        blk = jax.lax.dynamic_slice(s0_blocks, (t, 0, 0), (1, 33, 128))[0]
+        pr = tile_pred[t]
+        prblk = jax.lax.dynamic_slice(
+            carrybuf, (jnp.maximum(pr, 0), 0, 0), (1, 32, 128))[0]
+        cont = (blk[32:33] > 0) & (pr >= 0)
+        loaded = jnp.where(cont, prblk, blk[:32])
+        s = jnp.where(is_start, loaded, s)
         cur_tile = jnp.where(is_start, tile_here, cur_tile)
 
         v = (row & 0xFFF) - 2048
@@ -477,7 +475,7 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
     carrybuf = jnp.zeros((tiles_cap, 32, 128), i32)
     (s, cur_tile, carrybuf), sv_cells = jax.lax.scan(
         step, (s_init, -1, carrybuf), (ch1_cells, starts))
-    carrybuf = flush(carrybuf, cur_tile, s)
+    carrybuf = flush(carrybuf, cur_tile, s, jnp.bool_(True))
     return sv_cells, carrybuf
 
 
@@ -675,9 +673,27 @@ class DeviceFFV1Encoder:
 
     @functools.partial(jax.jit, static_argnames=("self", "keyframe"))
     def _pipeline(self, planes, canonical, keyframe: bool):
-        p = self.p
-        n_slices = p.slice_count
         ctx, diff = self._phase_a(planes)
+        svp, btp, hlen = self.prefix[keyframe]
+        return self.ops_from_streams(ctx, diff, canonical, svp, btp, hlen,
+                                     keyframe)
+
+    def ops_from_streams(self, ctx, diff, canonical, svp, btp, hlen,
+                         keyframe: bool):
+        """Streams -> per-slice (sv, bit, mode) op matrices + op counts.
+
+        Shard-friendly: n_slices is taken from ctx.shape (the multichip
+        dryrun calls this inside shard_map on each device's slice subset;
+        chain rows, the canonical state table and the layout are all local
+        to the shard)."""
+        n_slices = ctx.shape[0]
+        n = n_slices * self.npix
+        n_buckets = self.npix // GCAP + 2
+        tiles_cap = (n // GCAP + 2 * n_buckets
+                     + (n_slices * self.rows_per_slice) // 128 + 8)
+        slots_cap = tiles_cap * 128
+        cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP + tiles_cap + 128)
+        ev_cap = self.ev_cap
 
         slice_ids = jnp.arange(n_slices, dtype=jnp.int32)[:, None]
         chain_row = (slice_ids * self.rows_per_slice
@@ -686,20 +702,20 @@ class DeviceFFV1Encoder:
                 + jnp.arange(self.npix, dtype=jnp.int32)[None, :])
 
         plan = layout_plan(chain_row.reshape(-1), diff.reshape(-1),
-                           orig.reshape(-1), self.slots_cap, self.tiles_cap)
-        ch1c, _ = scatter_cells(plan, self.cellrows_cap)
+                           orig.reshape(-1), slots_cap, tiles_cap)
+        ch1c, _ = scatter_cells(plan, cellrows_cap)
 
         if keyframe:
             canonical = jnp.full_like(canonical, 128)
-        s0 = build_s0_blocks(plan, canonical, self.tiles_cap)
+        s0 = build_s0_blocks(plan, canonical, tiles_cap)
 
-        sv_cells, ends = self._adapt(ch1c, plan, s0)
-        canonical = writeback_canonical(plan, canonical, ends,
-                                        self.tiles_cap)
+        sv_cells, ends = self._adapt(ch1c, plan, s0, tiles_cap,
+                                     cellrows_cap)
+        canonical = writeback_canonical(plan, canonical, ends, tiles_cap)
 
         # cells -> stream order: pack each cell's 32 state bytes into 8
         # words and ride one sort keyed by original stream position
-        cr = self.cellrows_cap
+        cr = cellrows_cap
         svb = sv_cells.transpose(0, 2, 1).reshape(cr * 128, 32)
         svb = svb.astype(jnp.int32)
         words = [(svb[:, 4 * j] | (svb[:, 4 * j + 1] << 8)
@@ -710,7 +726,7 @@ class DeviceFFV1Encoder:
             plan["orig"], mode="drop", unique_indices=True)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1,
                                   is_stable=True)
-        words_n = [w[:self.n].reshape(n_slices, self.npix)
+        words_n = [w[:n].reshape(n_slices, self.npix)
                    for w in sorted_ops[1:]]
 
         # emission-order (sv, bit) grid per pixel
@@ -722,7 +738,6 @@ class DeviceFFV1Encoder:
         sv_em = (sv_em >> ((slot & 3) * 8)) & 0xFF
 
         # compact to per-slice op streams, after the host-planned prefix
-        svp, btp, hlen = self.prefix[keyframe]
         koff = jnp.cumsum(event_count(diff), axis=1)
         off = (hlen[:, None, None] + (koff - event_count(diff))[..., None]
                + jnp.arange(self.k_max, dtype=jnp.int32)[None, None, :])
@@ -738,15 +753,15 @@ class DeviceFFV1Encoder:
 
         (sv_st, bit_st), vmask = shift_compact(
             [lpad(sv_em), lpad(bit)], lpad(valid, False),
-            lpad(off), self.ev_cap)
+            lpad(off), ev_cap)
 
         # overlay prefix ops and the terminator / flush tail
-        pos = jnp.arange(self.ev_cap, dtype=jnp.int32)[None, :]
+        pos = jnp.arange(ev_cap, dtype=jnp.int32)[None, :]
         in_hdr = pos < hlen[:, None]
-        hsv = jnp.pad(svp, ((0, 0), (0, max(0, self.ev_cap - svp.shape[1])))
-                      )[:, :self.ev_cap]
-        hbt = jnp.pad(btp, ((0, 0), (0, max(0, self.ev_cap - btp.shape[1])))
-                      )[:, :self.ev_cap]
+        hsv = jnp.pad(svp, ((0, 0), (0, max(0, ev_cap - svp.shape[1])))
+                      )[:, :ev_cap]
+        hbt = jnp.pad(btp, ((0, 0), (0, max(0, ev_cap - btp.shape[1])))
+                      )[:, :ev_cap]
         sv_st = jnp.where(in_hdr, hsv, sv_st)
         bit_st = jnp.where(in_hdr, hbt, bit_st)
         total = hlen[:, None] + koff[:, -1:]
@@ -760,17 +775,17 @@ class DeviceFFV1Encoder:
         n_ops = total[:, 0] + 3
         return sv_st, bit_st, mode, n_ops, canonical
 
-    def _adapt(self, ch1c, plan, s0):
+    def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap):
         if self.use_pallas:
             from .adapt_pallas import adapt_pallas
             return adapt_pallas(
                 ch1c, plan["tile_caps"], plan["tile_bases"],
                 plan["tile_pred"], s0, jnp.asarray(self.table),
-                self.tiles_cap, self.cellrows_cap,
+                tiles_cap, cellrows_cap,
                 interpret=jax.default_backend() != "tpu")
         return adapt_reference(ch1c, plan["tile_caps"], plan["tile_bases"],
                                plan["tile_pred"], s0,
-                               jnp.asarray(self.table), self.tiles_cap)
+                               jnp.asarray(self.table), tiles_cap)
 
     # -- public API -----------------------------------------------------------
 
@@ -804,3 +819,73 @@ class DeviceFFV1Encoder:
             chunks.append(data)
         self.picture_number += 1
         return b"".join(chunks)
+
+
+def shift_expand(channels, valid, dest, out_len: int):
+    """Stable right-expansion along axis -1: moves valid elements to
+    strictly-increasing dest >= index.
+
+    PRECONDITION: valid elements form a dense prefix (e.g. the output of
+    shift_compact with rank destinations).  Then the move distances
+    dest[r] - r are non-decreasing, which makes the bit-by-bit shifts
+    collision-free (the masked-delta difference of two elements never
+    exceeds their index distance)."""
+    m = channels[0].shape[-1]
+    pad = out_len - m
+    if pad > 0:
+        def rpad(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1)
+        channels = [rpad(a, 0) for a in channels]
+        valid = rpad(valid, False)
+        dest = rpad(dest, 0)
+    idx = jnp.arange(out_len, dtype=jnp.int32)
+    delta = jnp.where(valid, dest - idx, 0)
+    arrs = [jnp.where(valid, c, 0) for c in channels]
+    val = valid
+    nbits = max(1, int(out_len - 1).bit_length())
+    # right moves must process delta bits HIGH to LOW: the moved-so-far
+    # part is then the (monotone) top of delta, keeping positions strictly
+    # ordered; low-to-high is only collision-free for left moves.
+    for b in reversed(range(nbits)):
+        step = 1 << b
+        move = val & (((delta >> b) & 1) == 1)
+
+        def shr(a, fill=0):
+            padv = jnp.full(a.shape[:-1] + (step,), fill, a.dtype)
+            return jnp.concatenate([padv, a[..., :-step]], axis=-1)
+
+        move_in = shr(move, False)
+        arrs = [jnp.where(move_in, shr(a), jnp.where(move, 0, a))
+                for a in arrs]
+        delta = jnp.where(move_in, shr(delta) - step,
+                          jnp.where(move, 0, delta))
+        val = jnp.where(move_in, True, val & ~move)
+    return arrs, val
+
+
+def render_bytes(first, fcount, fval, buf_cap: int):
+    """Device packet rendering: the arithmetic coder's staged emissions
+    (per-slice rows) -> byte streams + lengths (compact_lane semantics:
+    each emitting step appends its first byte then fcount copies of fval).
+
+    first/fcount/fval: (n_slices, steps) int32 (first < 0 = no emission).
+    Returns (bytes uint8 (n_slices, buf_cap), lengths int32 (n_slices,)).
+    """
+    emit = first >= 0
+    nbytes = jnp.where(emit, 1 + fcount, 0)
+    endo = jnp.cumsum(nbytes, axis=-1)
+    off = endo - nbytes
+    total = endo[..., -1]
+    rank = jnp.cumsum(emit.astype(jnp.int32), axis=-1) - 1
+    (fst_d, fvl_d, off_d), vmask = shift_compact(
+        [first, fval, off], emit, jnp.maximum(rank, 0), buf_cap)
+    (fst_p, fvl_p), at_event = shift_expand(
+        [fst_d + 1, fvl_d + 1], vmask, off_d, buf_cap)
+    # forward-fill the most recent event's fval over the gap bytes
+    pos = jnp.arange(buf_cap, dtype=jnp.int32)[None, :]
+    enc = jnp.where(at_event, pos * 256 + (fvl_p - 1), -1)
+    ffill = jax.lax.cummax(enc, axis=enc.ndim - 1)
+    byte = jnp.where(at_event, fst_p - 1, ffill % 256)
+    byte = jnp.where(pos < total[..., None], byte, 0)
+    return byte.astype(jnp.uint8), total

@@ -231,3 +231,62 @@ def test_device_encoder_mega_groups_small_gcap(monkeypatch):
         a = dev.encode(planes, force_keyframe=key)
         b = nat.encode(planes, key)
         assert a == b, f"frame {t}"
+
+
+def test_render_bytes_matches_compact_lane():
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import render_bytes
+    from ffmpeg_ffv2_tpu.ffv1.tpu_coder import compact_lane
+    rng = np.random.RandomState(0)
+    steps, lanes = 257, 5
+    first = np.where(rng.rand(lanes, steps) < 0.3,
+                     rng.randint(0, 256, (lanes, steps)), -1)
+    fcount = np.where(first >= 0, rng.randint(0, 4, (lanes, steps)), 0)
+    fcount[0, 3] = 37          # a long fill run
+    fval = np.where(rng.rand(lanes, steps) < 0.5, 0xFF, 0x00)
+    b, ln = render_bytes(jnp.asarray(first, jnp.int32),
+                         jnp.asarray(fcount, jnp.int32),
+                         jnp.asarray(fval, jnp.int32), 1024)
+    b, ln = np.asarray(b), np.asarray(ln)
+    for l in range(lanes):
+        ref = compact_lane(first[l], fcount[l], fval[l])
+        assert ln[l] == len(ref)
+        assert bytes(b[l, :ln[l]]) == ref, f"lane {l}"
+
+
+def test_shift_compact_expand_randomized():
+    """Randomized property test for the log-shift move primitives."""
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import shift_compact, shift_expand
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        m = rng.randint(4, 300)
+        valid = rng.rand(m) < rng.rand() * 0.9 + 0.05
+        vals = rng.randint(1, 1000, m)
+        # compact to ranks
+        rank = np.cumsum(valid) - 1
+        (out,), om = shift_compact([jnp.asarray(vals, jnp.int32)],
+                                   jnp.asarray(valid),
+                                   jnp.asarray(np.maximum(rank, 0),
+                                               jnp.int32), m)
+        out, om = np.asarray(out), np.asarray(om)
+        ref = vals[valid]
+        assert np.array_equal(out[:len(ref)], ref), f"compact trial {trial}"
+        assert om[:len(ref)].all() and not om[len(ref):].any()
+        # expand the dense prefix to random increasing destinations
+        nv = len(ref)
+        out_len = m + rng.randint(0, 64)
+        dest = np.sort(rng.choice(out_len, nv, replace=False)).astype(np.int32)
+        dest = np.maximum(dest, np.arange(nv, dtype=np.int32))
+        dv = np.zeros(m, np.int32)
+        dv[:nv] = dest
+        vmask = np.zeros(m, bool)
+        vmask[:nv] = True
+        (eo,), em = shift_expand([jnp.asarray(out[:m], jnp.int32)],
+                                 jnp.asarray(vmask), jnp.asarray(dv),
+                                 out_len)
+        eo, em = np.asarray(eo), np.asarray(em)
+        expect = np.zeros(out_len, np.int64)
+        expect[dest] = ref
+        assert np.array_equal(eo, expect), f"expand trial {trial}"
+        assert np.array_equal(em, expect != 0)
