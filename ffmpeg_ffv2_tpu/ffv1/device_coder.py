@@ -800,8 +800,9 @@ class DeviceFFV1Encoder:
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         sv, bit, mode, n_ops, self.canonical = self._pipeline(
             dev, self.canonical, keyframe)
-        # arithmetic coding: steps x lanes
-        steps = int(np.max(np.asarray(n_ops)))
+        # arithmetic coding: steps x lanes (pow2 bucket -> jit reuse)
+        steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
+        steps = min(steps, int(sv.shape[1]))
         sv = np.asarray(sv)[:, :steps].T.astype(np.int32)
         bit = np.asarray(bit)[:, :steps].T.astype(np.int32)
         mode = np.asarray(mode)[:, :steps].T.astype(np.int32)
