@@ -6,8 +6,9 @@ container for FFV2 streams (AVI has no FFV2 RIFF tag).  FFV1 rides as
 ``V_FFV1`` with the extradata in CodecPrivate.
 
 The writer emits a minimal-but-valid EBML document (EBML header, Segment
-with Info/Tracks and one Cluster per 30s of SimpleBlocks) that the
-reference demuxer (libavformat/matroskadec.c) accepts; the reader parses
+with SeekHead, Info/Tracks, one Cluster per 30s of SimpleBlocks, and a
+Cues index over the keyframes — matroskaenc.c mkv_add_cuepoint's
+counterpart, verified seekable by the reference demuxer); the reader parses
 any Matroska the reference muxer (libavformat/matroskaenc.c) produces for
 these codecs, including Void/CRC skipping, BlockGroups with ReferenceBlock
 keyframe inference, and all three lacing modes.
@@ -58,6 +59,14 @@ BLOCK_GROUP = 0xA0
 BLOCK = 0xA1
 REFERENCE_BLOCK = 0xFB
 CUES = 0x1C53BB6B
+CUE_POINT = 0xBB
+CUE_TIME = 0xB3
+CUE_TRACK_POSITIONS = 0xB7
+CUE_TRACK = 0xF7
+CUE_CLUSTER_POSITION = 0xF1
+SEEK = 0x4DBB
+SEEK_ID = 0x53AB
+SEEK_POSITION = 0x53AC
 TAGS = 0x1254C367
 CHAPTERS = 0x1043A770
 ATTACHMENTS = 0x1941A469
@@ -149,22 +158,63 @@ class MatroskaWriter:
                      + _float(DURATION, dur + 1000 * den / num))
         tracks = _elem(TRACKS, self._track_entry())
 
+        # clusters; remember (keyframe time, cluster offset within the
+        # cluster run) for the cue index (matroskaenc.c mkv_add_cuepoint)
         clusters = b""
         cl_payload = b""
         cl_base = 0
+        cl_off = 0
+        cue_entries = []       # (time_ms, cluster offset in `clusters`)
         for i, (data, pts, key) in enumerate(self.packets):
             if i == 0 or pts - cl_base > 30_000:
                 if cl_payload:
                     clusters += _elem(CLUSTER, cl_payload)
                 cl_base = pts
+                cl_off = len(clusters)
                 cl_payload = _uint(CLUSTER_TIMECODE, cl_base)
+            if key:
+                cue_entries.append((pts, cl_off))
             blk = (b"\x81" + struct.pack(">h", pts - cl_base)
                    + (b"\x80" if key else b"\x00") + data)
             cl_payload += _elem(SIMPLE_BLOCK, blk)
         if cl_payload:
             clusters += _elem(CLUSTER, cl_payload)
 
-        return head + _elem(SEGMENT, info + tracks + clusters)
+        # SeekHead (at segment start) + Cues (after the clusters); all
+        # SeekPosition/CueClusterPosition values are relative to the
+        # segment payload start.  SeekPositions use fixed 8-byte uints so
+        # the SeekHead's own size is position-independent.
+        def _uint8(eid, v):
+            return _elem(eid, struct.pack(">Q", v))
+
+        def seek_entry(eid, pos):
+            return _elem(SEEK, _elem(SEEK_ID, _id_bytes(eid))
+                         + _uint8(SEEK_POSITION, pos))
+
+        sh_payload0 = (seek_entry(INFO, 0) + seek_entry(TRACKS, 0)
+                       + seek_entry(CUES, 0))
+        sh_len = len(_elem(SEEKHEAD, sh_payload0))
+        info_pos = sh_len
+        tracks_pos = info_pos + len(info)
+        clusters_pos = tracks_pos + len(tracks)
+        cues_pos = clusters_pos + len(clusters)
+        seekhead = _elem(SEEKHEAD,
+                         seek_entry(INFO, info_pos)
+                         + seek_entry(TRACKS, tracks_pos)
+                         + seek_entry(CUES, cues_pos))
+        assert len(seekhead) == sh_len
+
+        cues = b"".join(
+            _elem(CUE_POINT, _uint(CUE_TIME, t)
+                  + _elem(CUE_TRACK_POSITIONS,
+                          _uint(CUE_TRACK, 1)
+                          + _uint(CUE_CLUSTER_POSITION,
+                                  clusters_pos + off)))
+            for (t, off) in cue_entries)
+        cues = _elem(CUES, cues)
+
+        return head + _elem(SEGMENT,
+                            seekhead + info + tracks + clusters + cues)
 
     def save(self, path: str):
         with open(path, "wb") as f:
@@ -283,6 +333,7 @@ class MatroskaReader:
     def __init__(self, data: bytes):
         self.tracks: dict[int, MkvTrack] = {}
         self.timecode_scale = 1_000_000
+        self.cues: list[tuple[int, int]] = []    # (time_ms, segment pos)
         p = _Parser(data)
         eid = p.read_id()
         size = p.read_size()
@@ -325,7 +376,52 @@ class MatroskaReader:
                 self._parse_tracks(p, nxt)
             elif eid == CLUSTER:
                 self._parse_cluster(p, nxt)
+            elif eid == CUES:
+                self._parse_cues(p, nxt)
             p.pos = nxt
+
+    def _parse_cues(self, p: _Parser, end: int):
+        q = _Parser(p.d)
+        q.pos = p.pos
+        while q.pos < end:
+            eid = q.read_id()
+            size = q.read_size() or 0
+            if eid == CUE_POINT:
+                t, pos, sub = -1, -1, _Parser(q.d)
+                sub.pos = q.pos
+                stop = q.pos + size
+                while sub.pos < stop:
+                    e2 = sub.read_id()
+                    s2 = sub.read_size() or 0
+                    if e2 == CUE_TIME:
+                        t = int.from_bytes(sub.d[sub.pos:sub.pos + s2],
+                                           "big")
+                        sub.pos += s2
+                    elif e2 == CUE_TRACK_POSITIONS:
+                        s3 = _Parser(sub.d)
+                        s3.pos = sub.pos
+                        while s3.pos < sub.pos + s2:
+                            e3 = s3.read_id()
+                            sz3 = s3.read_size() or 0
+                            if e3 == CUE_CLUSTER_POSITION:
+                                pos = int.from_bytes(
+                                    s3.d[s3.pos:s3.pos + sz3], "big")
+                            s3.pos += sz3
+                        sub.pos += s2
+                    else:
+                        sub.pos += s2
+                if t >= 0:
+                    self.cues.append((t, pos))
+            q.pos += size
+
+    def seek_index(self, track: "MkvTrack", ms: int) -> int:
+        """Packet index of the last keyframe at/before ms (the cue-seek
+        target an indexed demuxer would pick)."""
+        best = 0
+        for i, (t, k) in enumerate(zip(track.times_ms, track.keyflags)):
+            if k and t <= ms:
+                best = i
+        return best
 
     def _unknown_cluster_extent(self, p: _Parser) -> int:
         """Size of an unknown-length cluster: scan to the next top-level."""

@@ -13,10 +13,10 @@ elision headers, syncpoints, and both table-driven and coded frame flags
 Checksums are CRC-32/IEEE msb-first (ff_crc04C11DB7_update == our
 core.crc.crc32_ieee), stored little-endian.
 
-We do not write the optional trailing INDEX packet; the reference
-demuxer then estimates duration by scanning backwards for syncpoints,
-which logs a harmless "read_timestamp failed" for probe positions
-inside the last frame (nutdec.c:nut_read_timestamp).
+The muxer also writes the trailing INDEX packet (nutenc.c:write_index
+layout: max_pts, syncpoint >>4 position deltas, per-stream run-coded
+keyframe pts, 8-byte index_ptr) — verified parsed and used for seeking
+by the reference demuxer (nutdec.c:find_and_decode_index).
 """
 
 from __future__ import annotations
@@ -164,12 +164,14 @@ class NutWriter:
         out += self._packet(MAIN_STARTCODE, self._main_header())
         out += self._packet(STREAM_STARTCODE, self._stream_header())
         key_sp_pos = None
+        sp_pos_list = []              # syncpoint byte positions
         for data, pts, key in self.packets:
             # syncpoint before every frame: global_key_pts + back_ptr to
             # the syncpoint of the latest keyframe (nutenc.c sp_pos logic)
             sp_pos = len(out)
             if key or key_sp_pos is None:
                 key_sp_pos = sp_pos
+            sp_pos_list.append(sp_pos)
             out += self._packet(SYNCPOINT_STARTCODE,
                                 put_v(pts) + put_v((sp_pos - key_sp_pos) >> 4))
             flags = (FLAG_CODED_PTS | FLAG_STREAM_ID | FLAG_SIZE_MSB
@@ -181,7 +183,54 @@ class NutWriter:
             hdr += put_v(len(data))                 # size_msb (mul=1, lsb=0)
             hdr += crc32_ieee(hdr).to_bytes(4, "little")
             out += hdr + data
+        if sp_pos_list:
+            # index entry j holds the keyframe recorded right AFTER
+            # syncpoint j was counted (nutenc.c:1151 stores at the
+            # post-increment sp_count), i.e. entry j describes frame j-1;
+            # entry 0 stays empty (nutdec rejects "keyframe before first
+            # syncpoint") and the final frame's entry falls off the end.
+            n_sp = len(sp_pos_list)
+            sp_key_pts = [None] * n_sp
+            for j in range(1, n_sp):
+                data, pts, key = self.packets[j - 1]
+                if key:
+                    sp_key_pts[j] = pts
+            out += self._index(sp_pos_list, sp_key_pts)
         return bytes(out)
+
+    def _index(self, sp_pos_list, sp_key_pts) -> bytes:
+        """Trailing INDEX packet (nutenc.c:write_index): max_pts, the
+        syncpoint positions as >>4 deltas, per-stream run-coded keyframe
+        pts, and the 8-byte index_ptr (bytes from index start to EOF)."""
+        max_pts = max(p for _, p, _ in self.packets)
+        body = put_v(max_pts)                       # put_tt, 1 timebase
+        body += put_v(len(sp_pos_list))
+        last = 0
+        for pos in sp_pos_list:
+            body += put_v((pos >> 4) - (last >> 4))
+            last = pos
+        # single stream: runs of syncpoints with/without keyframe pts
+        n_sp = len(sp_pos_list)
+        j = 0
+        last_pts = -1
+        while j < n_sp:
+            flag = (sp_key_pts[j] is not None) ^ (j + 1 == n_sp)
+            n = 0
+            while j < n_sp and (sp_key_pts[j] is not None) == flag:
+                n += 1
+                j += 1
+            body += put_v(1 + 2 * flag + 4 * n)
+            for k in range(j - n, min(j + 1, n_sp)):
+                if sp_key_pts[k] is None:
+                    continue
+                body += put_v(sp_key_pts[k] - last_pts)
+                last_pts = sp_key_pts[k]
+            j += 1          # the run implicitly covers one !flag entry
+        # index_ptr: distance from the index packet's first byte to EOF
+        fwd = len(body) + 8 + 4
+        ptr = 8 + fwd + len(put_v(fwd)) + (4 if fwd > 4096 else 0)
+        body += struct.pack(">Q", ptr)
+        return self._packet(INDEX_STARTCODE, body)
 
     def save(self, path: str):
         with open(path, "wb") as f:
