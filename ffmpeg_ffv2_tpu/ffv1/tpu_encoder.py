@@ -40,6 +40,26 @@ def ceil_rshift(v, s):
     return -(-v >> s) if s else v
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "rb", "five", "alpha"))
+def _phase_a_rgb_batch(crops, qt, bits, rb, five, alpha):
+    """crops: (g, b, r, [a]) int32 [n_slices, h, w] -> per-plane
+    (ctx, diff) lists at coding depth rb = max(bits, 8) + 1."""
+    g, b, r = crops[0], crops[1], crops[2]
+    offset = 1 << max(bits, 8)
+    b2 = b - g
+    r2 = r - g
+    g2 = g + ((b2 + r2) >> 2)          # rct_by = rct_ry = 1 (version <= 3)
+    b2 = b2 + offset
+    r2 = r2 + offset
+    coded = [g2, b2, r2] + ([crops[3]] if alpha else [])
+    fn = functools.partial(plane_context_diff, qt=qt, bits=rb, five=five)
+    outs = [jax.vmap(lambda s: fn(_wrap16(s)))(pl.astype(jnp.int32))
+            for pl in coded]
+    return ([c.astype(jnp.int16) for c, _ in outs],
+            [d.astype(jnp.int16) for _, d in outs])
+
+
 class TPUFFV1Encoder:
     """Encoder session; TPU for modeling, native host runtime for coding."""
 
@@ -47,10 +67,13 @@ class TPUFFV1Encoder:
                  config: FFV1Config | None = None, n_threads: int = 0):
         self.cfg = config or FFV1Config()
         self.p = params_from_config(self.cfg, pix_fmt, width, height)
-        if self.p.colorspace != 0:
+        if self.p.colorspace == 1 and self.p.version > 3:
             raise NotImplementedError(
-                "TPU phase-A currently covers YUV/gray; RGB uses the host "
-                "path (NativeFFV1Codec)")
+                "TPU phase-A RGB covers fixed RCT (version <= 3); the v4 "
+                "per-slice coefficient search uses the host path")
+        if self.p.colorspace == 1 and self.p.use32bit:
+            raise NotImplementedError(
+                "TPU phase-A RGB covers the int16 sample ring (<= 14 bpc)")
         self.native = NativeFFV1Codec(self.p, n_threads)
         self.extradata = (H.write_extradata(self.p)
                           if self.p.version > 1 else b"")
@@ -67,13 +90,16 @@ class TPUFFV1Encoder:
         """Per coded plane: list of (slice rect in plane resolution)."""
         p = self.p
         plan = []
-        plane_dims = [(p.width, p.height, 0, 0)]
-        if p.chroma_planes:
-            hs, vs = p.chroma_h_shift, p.chroma_v_shift
-            cw, ch = ceil_rshift(p.width, hs), ceil_rshift(p.height, vs)
-            plane_dims += [(cw, ch, hs, vs)] * 2
-        if p.transparency:
-            plane_dims.append((p.width, p.height, 0, 0))
+        if p.colorspace == 1:
+            plane_dims = [(p.width, p.height, 0, 0)] * (3 + p.transparency)
+        else:
+            plane_dims = [(p.width, p.height, 0, 0)]
+            if p.chroma_planes:
+                hs, vs = p.chroma_h_shift, p.chroma_v_shift
+                cw, ch = ceil_rshift(p.width, hs), ceil_rshift(p.height, vs)
+                plane_dims += [(cw, ch, hs, vs)] * 2
+            if p.transparency:
+                plane_dims.append((p.width, p.height, 0, 0))
         rects = p.rects()
         for (pw, ph, hs, vs) in plane_dims:
             prects = []
@@ -93,6 +119,8 @@ class TPUFFV1Encoder:
         rect independently) — a full-frame array cannot hold both.
         """
         p = self.p
+        if p.colorspace == 1:
+            return self._phase_a_rgb(planes)
         n_slices = p.slice_count
         n_planes = len(self._plan)
         ctx_streams = [None] * (n_slices * n_planes)
@@ -116,6 +144,36 @@ class TPUFFV1Encoder:
                 for k, si in enumerate(sis):
                     ctx_streams[si * n_planes + li] = ctx[k]
                     diff_streams[si * n_planes + li] = diff[k]
+        return ctx_streams, diff_streams
+
+    def _phase_a_rgb(self, planes):
+        """RGB phase A: per-slice RCT (JPEG2000-style, fixed 1,1
+        coefficients for version <= 3; ffv1enc_template.c:175-181) then
+        context modeling at bits+1 on the transformed g,b,r,(a) planes."""
+        p = self.p
+        rects = self._plan[0]
+        n_planes = len(self._plan)
+        # 9..14-bit planar RGB without alpha reads G<->B swapped
+        # (ffv1enc_template.c:170-172)
+        swap = (not p.use32bit and not p.transparency and p.bits > 8)
+        gi, bi = (1, 0) if swap else (0, 1)
+        src = [np.asarray(pl) for pl in planes]
+        crops = [np.stack([src[k][y:y + h, x:x + w]
+                           for (x, y, w, h) in rects]).astype(np.int32)
+                 for k in (gi, bi, 2) + ((3,) if p.transparency else ())]
+        rb = (max(p.bits, 8) + 1)
+        ctx, diff = _phase_a_rgb_batch(
+            tuple(jnp.asarray(c) for c in crops), self.qt, p.bits, rb,
+            self.five, bool(p.transparency))
+        ctx = [np.asarray(c) for c in ctx]
+        diff = [np.asarray(d) for d in diff]
+        n_slices = p.slice_count
+        ctx_streams = [None] * (n_slices * n_planes)
+        diff_streams = [None] * (n_slices * n_planes)
+        for li in range(n_planes):
+            for si in range(n_slices):
+                ctx_streams[si * n_planes + li] = ctx[li][si]
+                diff_streams[si * n_planes + li] = diff[li][si]
         return ctx_streams, diff_streams
 
     # -- public API ---------------------------------------------------------

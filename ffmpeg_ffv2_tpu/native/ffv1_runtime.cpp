@@ -919,6 +919,20 @@ struct SymView {
     }
 };
 
+static void encode_sym_row(const Params& p, SliceState& ss, RangeEnc& c,
+                           BitWriter& pb, const int32_t* ctxs,
+                           const int32_t* diffs, int w, uint8_t* states,
+                           VlcState* vlc, int bits);
+
+static bool sym_row_budget(const Params& p, BitWriter& pb, int w,
+                           size_t budget, const std::vector<uint8_t>& obuf) {
+    if (p.ac != AC_GOLOMB)
+        return obuf.size() + (size_t)w * 35 <= budget;
+    if (obuf.size() + pb.byte_len() + (size_t)w * 4 > budget) return false;
+    pb.ensure((size_t)w * 4 + 64);
+    return true;
+}
+
 static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
                              BitWriter& pb, const SymView& sv, int w, int h,
                              int plane_index, int bits, size_t budget,
@@ -929,15 +943,20 @@ static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
     VlcState* vlc = p.ac == AC_GOLOMB ? ss.vlc[plane_index].data() : nullptr;
 
     for (int y = 0; y < h; y++) {
-        if (p.ac != AC_GOLOMB) {
-            if (obuf.size() + (size_t)w * 35 > budget) return false;
-        } else {
-            if (obuf.size() + pb.byte_len() + (size_t)w * 4 > budget)
-                return false;
-            pb.ensure((size_t)w * 4 + 64);
-        }
-        const int32_t* ctxs = sv.ctx_row(y);
-        const int32_t* diffs = sv.diff_row(y);
+        if (!sym_row_budget(p, pb, w, budget, obuf)) return false;
+        encode_sym_row(p, ss, c, pb, sv.ctx_row(y), sv.diff_row(y), w,
+                       states, vlc, bits);
+    }
+    return true;
+}
+
+// one row of precomputed (ctx, diff) symbols; golomb run state carries
+// through ss.run_index (shared across planes in the RGB interleave)
+static void encode_sym_row(const Params& p, SliceState& ss, RangeEnc& c,
+                           BitWriter& pb, const int32_t* ctxs,
+                           const int32_t* diffs, int w, uint8_t* states,
+                           VlcState* vlc, int bits) {
+    {
         int run_index = ss.run_index, run_count = 0, run_mode = 0;
         for (int x = 0; x < w; x++) {
             int context = ctxs[x];
@@ -981,6 +1000,26 @@ static bool encode_plane_sym(const Params& p, SliceState& ss, RangeEnc& c,
             if (run_count) pb.put(1, 1);
         }
         ss.run_index = run_index;
+    }
+}
+
+// row-interleaved RGB sym coding (ffv1enc_template.c:encode_rgb_frame
+// order: row y of g, b, r, (a); run_index shared across planes)
+static bool encode_rgb_sym(const Params& p, SliceState& ss, RangeEnc& c,
+                           BitWriter& pb, const SymView* svs, int nplanes,
+                           int w, int h, int bits, size_t budget,
+                           const std::vector<uint8_t>& obuf) {
+    ss.run_index = 0;
+    for (int y = 0; y < h; y++) {
+        for (int pl = 0; pl < nplanes; pl++) {
+            if (!sym_row_budget(p, pb, w, budget, obuf)) return false;
+            int pi = (pl + 1) / 2;
+            uint8_t* states = p.ac != AC_GOLOMB ? ss.states[pi].data()
+                                                : nullptr;
+            VlcState* vlc = p.ac == AC_GOLOMB ? ss.vlc[pi].data() : nullptr;
+            encode_sym_row(p, ss, c, pb, svs[pl].ctx_row(y),
+                           svs[pl].diff_row(y), w, states, vlc, bits);
+        }
     }
     return true;
 }
@@ -1436,19 +1475,33 @@ struct Codec {
         auto pv = slice_views(r, planes, nullptr);
         const int n_coded = (int)pv.size();
         int idx = 0;
-        auto one = [&](int li, int plane_index) {
+        auto one = [&](int li, int plane_index, int cbits) {
             size_t k = (size_t)si * n_coded + li;
             SymView sv{sym_ctx[k], sym_diff[k], pv[li].w};
             return encode_plane_sym(p, ss, c, pb, sv, pv[li].w, pv[li].h,
-                                    plane_index, p.bits, budget, obuf);
+                                    plane_index, cbits, budget, obuf);
         };
-        bool ok = one(0, 0);
-        idx = 1;
-        if (ok && p.chroma_planes && p.colorspace == 0) {
-            ok = one(1, 1) && one(2, 1);
-            idx = 3;
+        bool ok;
+        if (p.colorspace == 1) {
+            // RGB: streams already RCT-transformed by phase A; rows
+            // interleave across g,b,r,(a) at bits+1
+            int rb = (p.bits > 8 ? p.bits : 8) + 1;
+            std::vector<SymView> svs;
+            for (int li = 0; li < n_coded; li++) {
+                size_t k = (size_t)si * n_coded + li;
+                svs.push_back(SymView{sym_ctx[k], sym_diff[k], pv[li].w});
+            }
+            ok = encode_rgb_sym(p, ss, c, pb, svs.data(), n_coded,
+                                pv[0].w, pv[0].h, rb, budget, obuf);
+        } else {
+            ok = one(0, 0, p.bits);
+            idx = 1;
+            if (ok && p.chroma_planes) {
+                ok = one(1, 1, p.bits) && one(2, 1, p.bits);
+                idx = 3;
+            }
+            if (ok && p.transparency) ok = one(idx, 2, p.bits);
         }
-        if (ok && p.transparency && p.colorspace == 0) ok = one(idx, 2);
         if (!ok) return false;
         if (p.ac == AC_GOLOMB)
             pb.flush();

@@ -60,3 +60,36 @@ def test_tpu_encoder_matches_host(name, cfg, fmt, bits, hs, vs):
         outs = dec.decode(a)
         for x, y in zip(planes, outs):
             assert np.array_equal(x, y)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("pix,coder", [
+    ("bgr0", 1),          # 8-bit RGB, range coder
+    ("bgr0", -1),         # 8-bit RGB, golomb-rice (shared run index)
+    ("gbrp10", 1),        # 9..14-bit planar: G<->B swap quirk
+])
+def test_hybrid_rgb_phase_a_byte_exact(pix, coder):
+    """RGB/RCT phase A on device (hybrid encoder) == host packets
+    (ffv1enc_template.c:encode_rgb_frame semantics: fixed 1,1 RCT,
+    row-interleaved planes, bits+1 coding depth)."""
+    import numpy as np
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    from ffmpeg_ffv2_tpu.ffv1.tpu_encoder import TPUFFV1Encoder
+    rng = np.random.RandomState(2)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=coder, slices=4)
+    p = params_from_config(cfg, pix, w, h)
+    assert p.colorspace == 1
+    hyb = TPUFFV1Encoder(w, h, pix, cfg)
+    nat = NativeFFV1Codec(p)
+    mx = (1 << p.bits) - 1
+    for t in range(3):
+        planes = [rng.randint(0, mx + 1, (h, w)).astype(np.int32)
+                  for _ in range(3)]          # g, b, r
+        key = t % 2 == 0
+        a = hyb.encode(planes, force_keyframe=key)
+        b = nat.encode(planes, key)
+        assert a == b, f"frame {t}"
