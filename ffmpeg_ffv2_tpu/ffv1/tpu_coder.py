@@ -190,6 +190,13 @@ class TPUCoderFFV1Encoder:
         self.extradata = (H.write_extradata(self.p)
                           if self.p.version > 1 else b"")
         self.picture_number = 0
+        self.budget_override = 0    # test hook (mirrors the native one)
+
+    def set_budget_override(self, budget: int):
+        self.budget_override = budget
+        self.lib.ffv1rt_set_budget_override.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64]
+        self.lib.ffv1rt_set_budget_override(self.native.handle, budget)
 
     def _plan(self, planes, keyframe):
         arrs = [np.ascontiguousarray(pl, dtype=np.int32) for pl in planes]
@@ -298,9 +305,85 @@ class TPUCoderFFV1Encoder:
         svs, bits, lens, mx = self._plan(planes, keyframe)
         n = self.p.slice_count
 
-        # lane matrices: ops + the 2-step flush tail, padded with NOPs.
-        # Steps round up to a power of two so the jitted scan is reused
-        # across frames instead of recompiling per op count.
+        # v4 PCM fallback (ffv1enc.c:1107-1117): when a slice's coded size
+        # exceeds its packet region, replan it as raw-PCM ops and rerun
+        # the lane coder for the retried slices
+        if self.p.version > 3:
+            pkt, nbytes = self._code_slices(svs, bits, lens, mx,
+                                            return_nbytes=True)
+            budget = (self.budget_override
+                      or (16384 + self.p.width * self.p.height * 3 * 4) // n)
+            over = [si for si in range(n)
+                    if self._row_check_overflows(si, nbytes[:, si], budget)]
+            if over:
+                arrs = [np.ascontiguousarray(pl, dtype=np.int32)
+                        for pl in planes]
+                ptrs = (ctypes.c_void_p * len(arrs))(
+                    *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs])
+                self.lib.ffv1rt_replan_pcm.restype = ctypes.c_int64
+                self.lib.ffv1rt_replan_pcm.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+                for si in over:
+                    ln = self.lib.ffv1rt_replan_pcm(
+                        self.native.handle, si, ptrs, 1 if keyframe else 0)
+                    if ln < 0:
+                        raise RuntimeError("PCM replan failed")
+                    mx = max(mx, int(ln))
+                    sv = np.empty(mx, dtype=np.uint8)
+                    bt = np.empty(mx, dtype=np.uint8)
+                    self.lib.ffv1rt_get_plan(
+                        self.native.handle, si,
+                        sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        bt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        mx)
+                    svs[si], bits[si], lens[si] = sv, bt, int(ln)
+                pkt, nbytes = self._code_slices(svs, bits, lens, mx,
+                                                return_nbytes=True)
+                still = [si for si in over
+                         if self._row_check_overflows(si, nbytes[:, si],
+                                                      budget)]
+                if still:
+                    raise RuntimeError(
+                        f"slices {still} overflow even as PCM")
+            self.picture_number += 1
+            return b"".join(self._trail(si, ch)
+                            for si, ch in enumerate(pkt))
+
+        chunks = self._code_slices(svs, bits, lens, mx)
+        self.picture_number += 1
+        return b"".join(self._trail(si, ch) for si, ch in enumerate(chunks))
+
+    def _row_check_overflows(self, si, nbytes_col, budget):
+        """Replay the encoder's per-row budget check
+        (ffv1_runtime.cpp: obuf.size() + w*35 > budget) against the
+        device coder's emitted-byte prefix at the planner's row marks."""
+        self.lib.ffv1rt_get_plan_rows.restype = ctypes.c_int64
+        self.lib.ffv1rt_get_plan_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
+        cap = 4 * (self.p.height + 4)
+        marks = np.empty(cap, dtype=np.int64)
+        widths = np.empty(cap, dtype=np.int32)
+        nrows = self.lib.ffv1rt_get_plan_rows(
+            self.native.handle, si,
+            marks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if nrows < 0 or nrows > cap:
+            raise RuntimeError("row marks unavailable")
+        prefix = np.concatenate([[0], np.cumsum(nbytes_col)])
+        m = marks[:nrows]
+        return bool(np.any(prefix[m] + 35 * widths[:nrows].astype(np.int64)
+                           > budget))
+
+    def _code_slices(self, svs, bits, lens, mx, return_nbytes=False):
+        """Run the lane coder over all slices; returns raw byte chunks.
+
+        Lane matrices: ops + the 2-step flush tail, padded with NOPs.
+        Steps round up to a power of two so the jitted scan is reused
+        across frames instead of recompiling per op count."""
+        n = self.p.slice_count
         steps = 1 << (mx + 2 - 1).bit_length()
         sv = np.zeros((steps, n), dtype=np.int32)
         bt = np.zeros((steps, n), dtype=np.int32)
@@ -312,19 +395,26 @@ class TPUCoderFFV1Encoder:
             mode[:L, si] = MODE_OP
             mode[L, si] = MODE_FLUSH1
             mode[L + 1, si] = MODE_FLUSH2
-
         first, fcount, fval = (np.asarray(a) for a in rac_scan_lanes(
             jnp.asarray(sv), jnp.asarray(bt), jnp.asarray(mode)))
+        chunks = [compact_lane(first[:, si], fcount[:, si], fval[:, si])
+                  for si in range(n)]
+        if return_nbytes:
+            return chunks, np.where(first >= 0, 1 + fcount, 0)
+        return chunks
 
-        chunks = []
-        for si in range(n):
-            data = compact_lane(first[:, si], fcount[:, si], fval[:, si])
-            if si > 0 or self.p.version > 2:
-                assert len(data) < (1 << 24)
-                data += len(data).to_bytes(3, "big")
-                if self.p.ec:
-                    data += b"\x00"
-                    data += crc32_trailer(data)
-            chunks.append(data)
-        self.picture_number += 1
-        return b"".join(chunks)
+    def _trail(self, si, data):
+        if si > 0 or self.p.version > 2:
+            assert len(data) < (1 << 24)
+            data += len(data).to_bytes(3, "big")
+            if self.p.ec:
+                data += b"\x00"
+                data += crc32_trailer(data)
+        return data
+
+    def set_stats_mode(self, enable: bool = True):
+        """Pass-1 rc_stat collection through the planner (plan_symbol
+        tallies the same (state value, bit) counters the host encoder
+        does); read with twopass.collect_stats on .native."""
+        self.lib.ffv1rt_set_stats_mode(self.native.handle,
+                                       1 if enable else 0)

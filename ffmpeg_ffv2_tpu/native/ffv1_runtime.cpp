@@ -299,6 +299,15 @@ static int get_symbol(RangeDec& c, uint8_t* st, bool is_signed) {
 struct OpSink {
     std::vector<uint8_t> sv;
     std::vector<uint8_t> bit;
+    // (op offset, row width) at every plane-row start: lets the caller
+    // replay the encoder's per-row budget check (obuf + w*35 > budget)
+    // against the device coder's byte prefix for the exact v4 PCM rule
+    std::vector<int64_t> row_marks;
+    std::vector<int32_t> row_widths;
+    void mark_row(int w) {
+        row_marks.push_back((int64_t)sv.size());
+        row_widths.push_back(w);
+    }
     void put(uint8_t* state, int b, const RacTables& tab) {
         sv.push_back(*state);
         bit.push_back((uint8_t)b);
@@ -318,7 +327,34 @@ struct BitSink {
 };
 
 static void plan_symbol(OpSink& o, uint8_t* st, int v, bool is_signed,
-                        const RacTables& tab) {
+                        const RacTables& tab, RcStats* rs = nullptr,
+                        size_t ctx_base = 0) {
+    if (rs) {
+        // mirror put_symbol_stats' tallies on the planned ops so pass-1
+        // runs through the device-coder path too
+        if (v) {
+            const unsigned a = v < 0 ? -(unsigned)v : (unsigned)v;
+            const int e = ilog2(a);
+            // replay the slot walk against the CURRENT states (before
+            // o.put advances them): tally then fall through to planning
+            uint8_t snap[32];
+            std::memcpy(snap, st, 32);
+            auto tally = [&](int slot, int bit) {
+                rs->stat[(size_t)snap[slot] * 2 + bit]++;
+                rs->stat2[(ctx_base + slot) * 2 + bit]++;
+                snap[slot] = bit ? tab.one[snap[slot]] : tab.zero[snap[slot]];
+            };
+            tally(0, 0);
+            for (int i = 0; i < e; i++) tally(1 + std::min(i, 9), 1);
+            tally(1 + std::min(e, 9), 0);
+            for (int i = e - 1; i >= 0; i--)
+                tally(22 + std::min(i, 9), (a >> i) & 1);
+            if (is_signed) tally(11 + std::min(e, 10), v < 0);
+        } else {
+            rs->stat[(size_t)st[0] * 2 + 1]++;
+            rs->stat2[(ctx_base + 0) * 2 + 1]++;
+        }
+    }
     if (v) {
         const unsigned a = v < 0 ? -(unsigned)v : (unsigned)v;
         const int e = ilog2(a);
@@ -1324,6 +1360,7 @@ struct Codec {
     bool have_custom = false;
     int n_threads = 1;
     bool stats_mode = false;
+    size_t budget_override = 0;   // test hook for the v4 PCM retry path
     int gob_count = 0;
     std::vector<RcStats> slice_stats;
     std::vector<OpSink> planned;
@@ -1561,6 +1598,7 @@ struct Codec {
             (16384 + (size_t)p.width * p.height * 37 * 4) / n_slices;
         if (p.version > 3)
             budget = (16384 + (size_t)p.width * p.height * 3 * 4) / n_slices;
+        if (budget_override) budget = budget_override;
 
         // slice 0 carries the keyframe bit (+ v<2 header)
         std::vector<std::vector<uint8_t>> chunks(n_slices);
@@ -1671,10 +1709,16 @@ struct Codec {
                                                        : default_tables();
         const RacTables& def = default_tables();
         if (keyframe) gob_count++;
+        if (stats_mode && slice_stats.empty()) {
+            slice_stats.resize(slices.size());
+            for (auto& st : slice_stats)
+                st.init(p.context_counts[p.context_model]);
+        }
         sinks.assign(slices.size(), OpSink());
         for (int si = 0; si < (int)slices.size(); si++) {
             OpSink& o = sinks[si];
             SliceState& ss = slices[si];
+            ss.stats = stats_mode ? &slice_stats[si] : nullptr;
             ss.coding_mode = 0;
             Rect r = slice_rect(p, si);
             if (p.version > 3 && p.colorspace == 1) {
@@ -1791,6 +1835,7 @@ struct Codec {
         const int16_t(*qt)[256] = p.quant_tables[ss.qt_index[plane_index]];
         uint8_t* states = ss.states[plane_index].data();
         for (int y = 0; y < h; y++) {
+            o.mark_row(w);
             T* cur = rb.row((h + 0 - y) % ring);
             T* prev = rb.row((h + 1 - y) % ring);
             T* prev2 = ring == 3 ? rb.row((h + 2 - y) % ring) : cur;
@@ -1804,7 +1849,8 @@ struct Codec {
                 if (context < 0) { context = -context; diff = -diff; }
                 diff = fold(diff, p.bits);
                 plan_symbol(o, states + (size_t)context * kContextSize,
-                            diff, true, tab);
+                            diff, true, tab, ss.stats,
+                            (size_t)context * kContextSize);
             }
         }
         return true;
@@ -1854,6 +1900,7 @@ struct Codec {
                 if (as) cur[3][x] = (T)as[x];
             }
             for (int pl = 0; pl < nplanes; pl++) {
+                o.mark_row(w);
                 cur[pl][-1] = prev[pl][0];
                 prev[pl][w] = prev[pl][w - 1];
                 int plane_index = (pl + 1) / 2;
@@ -1869,10 +1916,69 @@ struct Codec {
                     diff = fold(diff, eff_bits);
                     plan_symbol(o,
                                 states + (size_t)context * kContextSize,
-                                diff, true, tab);
+                                diff, true, tab, ss.stats,
+                                (size_t)context * kContextSize);
                 }
             }
         }
+        return true;
+    }
+
+    // PCM replan (v4 budget-overflow fallback, ffv1enc.c:1107-1117):
+    // rebuild one slice's ops with slice_coding_mode=1 — header (with
+    // the raw-PCM flag, which clears the slice state), then every sample
+    // as fixed p=128 bits (put_fixed semantics: a throwaway state per
+    // bit, so every op is (sv=128, bit) with no adaptation).
+    bool plan_pcm_slice(int si, const int32_t* const* planes, int keyframe,
+                        std::vector<OpSink>& sinks) {
+        if (p.version < 4 || p.ac == AC_GOLOMB) return false;
+        const RacTables& tab = p.ac == AC_RANGE_CUSTOM ? custom_tab
+                                                       : default_tables();
+        const RacTables& def = default_tables();
+        OpSink o;
+        SliceState& ss = slices[si];
+        ss.coding_mode = 1;
+        Rect r = slice_rect(p, si);
+        if (si == 0) {
+            uint8_t key_state = 128;
+            o.put(&key_state, keyframe ? 1 : 0, def);
+        }
+        ss.clear(p);
+        uint8_t st[kContextSize];
+        std::memset(st, 128, sizeof(st));
+        plan_slice_header(o, ss, r, st, tab);
+        auto pv = slice_views(r, planes, nullptr);
+        auto raw_plane = [&](const PlaneView& v, int bits_) {
+            for (int y = 0; y < v.h; y++) {
+                o.mark_row(v.w);
+                const int32_t* src = v.src_row(y);
+                for (int x = 0; x < v.w; x++)
+                    for (int i = bits_ - 1; i >= 0; i--) {
+                        uint8_t fixed = 128;
+                        o.put(&fixed, (src[x] >> i) & 1, tab);
+                    }
+            }
+        };
+        if (p.colorspace == 0) {
+            for (auto& v : pv) raw_plane(v, p.bits);
+        } else {
+            // raw interleaved rows, no RCT (encode_rgb coding_mode 1)
+            const bool swap = gb_swapped(p);
+            int order[4] = {swap ? 1 : 0, swap ? 0 : 1, 2, 3};
+            for (int y = 0; y < pv[0].h; y++)
+                for (int pl = 0; pl < (int)pv.size(); pl++) {
+                    o.mark_row(pv[0].w);
+                    const int32_t* src = pv[order[pl]].src_row(y);
+                    for (int x = 0; x < pv[0].w; x++)
+                        for (int i = p.bits - 1; i >= 0; i--) {
+                            uint8_t fixed = 128;
+                            o.put(&fixed, (src[x] >> i) & 1, tab);
+                        }
+                }
+        }
+        uint8_t t129 = 129;
+        o.put(&t129, 0, tab);
+        sinks[si] = std::move(o);
         return true;
     }
 
@@ -2421,6 +2527,25 @@ int64_t ffv1rt_plan(void* h, const int32_t* const* planes, int keyframe) {
     return mx;
 }
 
+int64_t ffv1rt_get_plan_rows(void* h, int32_t si, int64_t* marks,
+                             int32_t* widths, int64_t cap) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (si < 0 || si >= (int32_t)ctx->planned.size()) return -1;
+    auto& o = ctx->planned[si];
+    int64_t n = std::min((int64_t)o.row_marks.size(), cap);
+    std::memcpy(marks, o.row_marks.data(), n * sizeof(int64_t));
+    std::memcpy(widths, o.row_widths.data(), n * sizeof(int32_t));
+    return (int64_t)o.row_marks.size();
+}
+
+int64_t ffv1rt_replan_pcm(void* h, int32_t si,
+                          const int32_t* const* planes, int keyframe) {
+    auto* ctx = static_cast<f2t::Codec*>(h);
+    if (si < 0 || si >= (int32_t)ctx->planned.size()) return -1;
+    if (!ctx->plan_pcm_slice(si, planes, keyframe, ctx->planned)) return -1;
+    return (int64_t)ctx->planned[si].sv.size();
+}
+
 int64_t ffv1rt_get_plan(void* h, int32_t si, uint8_t* sv, uint8_t* bit,
                         int64_t cap) {
     auto* ctx = static_cast<f2t::Codec*>(h);
@@ -2458,6 +2583,11 @@ int64_t ffv1rt_get_plan_bits(void* h, int32_t si, uint32_t* val,
     std::memcpy(val, b.val.data(), n * sizeof(uint32_t));
     std::memcpy(nb, b.nb.data(), n);
     return (int64_t)b.nb.size();
+}
+
+void ffv1rt_set_budget_override(void* h, int64_t budget) {
+    static_cast<f2t::Codec*>(h)->budget_override =
+        budget > 0 ? (size_t)budget : 0;
 }
 
 void ffv1rt_set_stats_mode(void* h, int32_t enable) {
