@@ -39,38 +39,59 @@ def icbrt(v: int) -> int:
     return r
 
 
+def pvq_prescale_shift(max_ax: int) -> int:
+    """Right-shift that brings band magnitudes to <= 8 bits for the
+    search (an encoder-side choice; all three implementations — numpy,
+    C++, device — apply the same shift so selections are identical)."""
+    s = 0
+    while (int(max_ax) >> s) > 255:
+        s += 1
+    return s
+
+
 def pvq_search(x: np.ndarray, k: int, max_abs: int | None = None
                ) -> np.ndarray:
     """Greedy PVQ: y in Z^n with sum|y| == k maximizing (x.y)^2 / (y.y).
 
-    The search is an encoder-side *choice* — the decoder never re-runs it —
-    so it only needs to be deterministic for the encoding run, not
-    bit-reproducible across platforms.  Vectorized one-pulse-at-a-time
-    argmax (k iterations of VPU-friendly elementwise work).
+    The per-pulse argmax uses EXACT 32-bit integer comparison so numpy,
+    the C++ runtime and the TPU kernel (which has no int64/f64) pick
+    identical positions: magnitudes prescale to <= 8 bits, then score
+    a/b (a = (xy+ax)^2 <= 2^28, b = yy+2y+1 <= (k+1)^2) compares as the
+    lexicographic pair (a//b, (a%b)*b_other) — the cross terms stay
+    under 2^24.
 
     ``max_abs`` caps each |y_i|.  The wire format codes |y_i| with a
-    qp-ary CDF (ffv2enc.c:181, alphabet size == qp), so |y_i| == qp is not
-    representable; the reference's float search can still produce it (an
-    out-of-bounds CDF write in the reference encoder).  We cap at qp-1
-    instead, staying reference-decodable."""
-    ax = np.abs(x.astype(np.int64))
+    qp-ary CDF (ffv2enc.c:181, alphabet size == qp), so |y_i| == qp is
+    not representable; the reference's float search can still produce it
+    (an out-of-bounds CDF write in the reference encoder).  We cap at
+    qp-1 instead, staying reference-decodable."""
+    ax_full = np.abs(x.astype(np.int64))
     y = np.zeros(len(x), dtype=np.int64)
-    if k <= 0 or not ax.any():
+    if k <= 0 or not ax_full.any():
         return y
+    ax = (ax_full >> pvq_prescale_shift(int(ax_full.max()))).astype(np.int64)
     xy = 0
     yy = 0
     for _ in range(k):
-        nxy = (xy + ax).astype(np.float64)
-        nyy = (yy + 2 * y + 1).astype(np.float64)
-        score = nxy * nxy / nyy
+        a = (xy + ax) ** 2
+        b = yy + 2 * y + 1
+        q = a // b
+        r = a - q * b
         if max_abs is not None:
-            score[y >= max_abs] = -1.0
-            if not (score >= 0).any():
+            blocked = y >= max_abs
+            q = np.where(blocked, -1, q)
+            if not (q >= 0).any():
                 break
-        j = int(np.argmax(score))
-        y[j] += 1
-        xy += int(ax[j])
-        yy += 2 * int(y[j]) - 1
+        # argmax of a/b: lexicographic (q, r cross-compared); first wins
+        m = int(q.max())
+        sel = np.nonzero(q == m)[0]
+        best = int(sel[0])
+        for j in sel[1:]:
+            if r[j] * b[best] > r[best] * b[j]:
+                best = int(j)
+        y[best] += 1
+        xy += int(ax[best])
+        yy += 2 * int(y[best]) - 1
     return y * np.sign(x.astype(np.int64))
 
 

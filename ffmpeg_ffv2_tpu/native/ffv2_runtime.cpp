@@ -342,34 +342,40 @@ static int64_t icbrt64(uint64_t v) {
 // greedy pulse search; float64 scores with first-max argmax, matching the
 // numpy implementation exactly.  max_abs caps each |y_i| (the wire's
 // qp-ary pulse alphabet cannot represent |pulse| == qp).
+// exact 32-bit scoring (ffv2/pvq.py pvq_search): magnitudes prescale
+// to <= 8 bits, score a/b compares as (a/b, (a%b)*b_other) — identical
+// selections in numpy, here, and the int32-only TPU kernel
 static void pvq_search(const int64_t* x, int n, int k, int max_abs,
                        int64_t* y) {
-    std::vector<int64_t> ax(n);
-    bool any = false;
+    std::vector<int32_t> ax(n);
+    int64_t mx = 0;
     for (int i = 0; i < n; i++) {
-        ax[i] = std::llabs(x[i]);
-        any |= ax[i] != 0;
+        int64_t a = std::llabs(x[i]);
+        mx = std::max(mx, a);
         y[i] = 0;
     }
-    if (k <= 0 || !any) return;
-    int64_t xy = 0, yy = 0;
+    if (k <= 0 || !mx) return;
+    int shift = 0;
+    while ((mx >> shift) > 255) shift++;
+    for (int i = 0; i < n; i++)
+        ax[i] = (int32_t)(std::llabs(x[i]) >> shift);
+    int32_t xy = 0, yy = 0;
     for (int p = 0; p < k; p++) {
         int best = -1;
-        double best_score = -1.0;
+        int32_t bq = -1, br = 0, bb = 1;
         for (int i = 0; i < n; i++) {
             if (y[i] >= max_abs) continue;
-            double nxy = (double)(xy + ax[i]);
-            double nyy = (double)(yy + 2 * y[i] + 1);
-            double score = nxy * nxy / nyy;
-            if (score > best_score) {
-                best_score = score;
-                best = i;
+            int32_t a = (xy + ax[i]) * (xy + ax[i]);
+            int32_t b = yy + 2 * (int32_t)y[i] + 1;
+            int32_t q = a / b, r = a - q * b;
+            if (q > bq || (q == bq && r * bb > br * b)) {
+                bq = q; br = r; bb = b; best = i;
             }
         }
         if (best < 0) break;   // every position at the cap
         y[best] += 1;
         xy += ax[best];
-        yy += 2 * y[best] - 1;
+        yy += 2 * (int32_t)y[best] - 1;
     }
     for (int i = 0; i < n; i++)
         if (x[i] < 0) y[i] = -y[i];
