@@ -167,8 +167,39 @@ class NativeFFV2Encoder:
             ph, pw = padded.shape[1:]
             nby, nbx = ph // SB, pw // SB
             try:
-                # one jitted program: Q12, lapped prefilter, block split,
-                # MXU transform, zigzag gather
+                # one jitted program through quantization: Q12, lapped
+                # prefilter, MXU transform, zigzag, PVQ pulses and exact
+                # gain split-sums — only ~1 byte/coeff leaves the device
+                from .tpu import encode_front_q
+                from .pvq import icbrt
+                bands_l = list(dsp.band_starts(SB))
+                dc, pulses, igain = encode_front_q(padded, depth, qp,
+                                                   bands_l)
+                cg = np.empty(igain.shape, dtype=np.int32)
+                flat_ig = igain.reshape(-1)
+                flat_cg = cg.reshape(-1)
+                for i, v in enumerate(flat_ig):
+                    flat_cg[i] = icbrt(int(v))
+                lib.ffv2rt_enc_frame_q.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                dc64 = np.ascontiguousarray(dc, dtype=np.int64)
+                cg = np.ascontiguousarray(cg)
+                pulses = np.ascontiguousarray(pulses)
+                lib.ffv2rt_enc_frame_q(
+                    h, dc64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    cg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    pulses.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    pulses.shape[1], igain.shape[1],
+                    nby * nbx, self.planes, SB, dsp.TX_DCT)
+                return self._done(h)
+            except ImportError:
+                pass
+            try:
+                # device front without quantization (older fallback)
                 from .tpu import encode_front
                 streams = encode_front(padded, depth).astype(np.int64)
             except Exception:

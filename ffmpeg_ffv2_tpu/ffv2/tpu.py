@@ -223,3 +223,143 @@ def prefilter_frame(planes_padded: np.ndarray, depth: int,
     sb = sb or dsp.SB_SIZE
     return np.asarray(_prefilter_frame(
         jnp.asarray(planes_padded, dtype=jnp.int32), depth, sb))
+
+
+# ---------------------------------------------------------------------------
+# device quantization: DC + per-band PVQ pulses + exact split gain sums
+# ---------------------------------------------------------------------------
+
+
+def _pvq_band_device(band_abs, qp):
+    """Greedy PVQ pulses for one band across all blocks.
+
+    band_abs: int32 [B, L] magnitudes.  Mirrors pvq.pvq_search exactly:
+    8-bit prescale, per-pulse argmax by the exact integer pair
+    (a//b, (a%b) cross-product), ties to the lowest index (tournament
+    reduce keeping the left operand on equality).  All values fit int32.
+    """
+    B, L = band_abs.shape
+    Lp = 1 << max(1, (L - 1).bit_length())
+    pad = Lp - L
+    mx = jnp.max(band_abs, axis=1, keepdims=True)
+    f = jnp.maximum(mx, 1).astype(jnp.float32)
+    bl = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 126  # bits
+    shift = jnp.maximum(bl - 8, 0)
+    ax = band_abs >> shift
+    ax = jnp.pad(ax, ((0, 0), (0, pad)))
+    valid = jnp.pad(jnp.ones((B, L), bool), ((0, 0), (0, pad)))
+
+    def pulse_iter(carry, _):
+        y, xy, yy = carry
+        a = (xy[:, None] + ax) ** 2
+        b = yy[:, None] + 2 * y + 1
+        q = a // b
+        r = a - q * b
+        q = jnp.where(valid & (y < qp - 1), q, -1)
+
+        idx = jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32), (B, Lp))
+        tq, tr, tb, ti = q, r, b, idx
+        length = Lp
+        while length > 1:
+            h = length // 2
+            ql, qr = tq[:, :h], tq[:, h:length]
+            rl, rr = tr[:, :h], tr[:, h:length]
+            bb_l, bb_r = tb[:, :h], tb[:, h:length]
+            il, ir = ti[:, :h], ti[:, h:length]
+            cl = rl * bb_r
+            cr = rr * bb_l
+            left = (ql > qr) | ((ql == qr)
+                               & ((cl > cr) | ((cl == cr) & (il < ir))))
+            tq = jnp.where(left, ql, qr)
+            tr = jnp.where(left, rl, rr)
+            tb = jnp.where(left, bb_l, bb_r)
+            ti = jnp.where(left, il, ir)
+            length = h
+        best = ti[:, 0]
+        ok = tq[:, 0] >= 0
+        onehot = (jnp.arange(Lp, dtype=jnp.int32)[None, :]
+                  == best[:, None]) & ok[:, None]
+        y2 = y + onehot.astype(jnp.int32)
+        xy2 = xy + jnp.sum(jnp.where(onehot, ax, 0), axis=1)
+        yy2 = yy + jnp.sum(jnp.where(onehot, 2 * y2 - 1, 0), axis=1)
+        return (y2, xy2, yy2), 0
+
+    y0 = jnp.zeros((B, Lp), jnp.int32)
+    z0 = jnp.zeros((B,), jnp.int32)
+    (y, _, _), _ = jax.lax.scan(pulse_iter, (y0, z0, z0), None, length=qp)
+    return y[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "bands", "n"))
+def _quantize_streams(streams, qp, bands, n):
+    """streams int32 [NB, n*n] in coding order -> (dc int32 [NB],
+    pulses int8 [NB, n*n-1 (+phantom)], gain split-sums int32
+    [NB, n_bands, 3]): igain = s0*2^18 + 2*s1*2^9 + s2, exact
+    (|coeff| < 2^18, band length <= 4096)."""
+    dc = streams[:, 0]
+    n_ac = n * n - 1
+    ac = streams[:, 1:]
+    last = bands[-1]
+    if last > n_ac:                      # the phantom position
+        ac = jnp.pad(ac, ((0, 0), (0, last - n_ac)))
+    pulses = []
+    sums = []
+    for bi in range(len(bands) - 1):
+        lo, hi = bands[bi], bands[bi + 1]
+        band = ac[:, lo:hi]
+        aa = jnp.abs(band)
+        h = aa >> 9
+        l = aa & 511
+        sums.append(jnp.stack([jnp.sum(h * h, axis=1),
+                               jnp.sum(h * l, axis=1),
+                               jnp.sum(l * l, axis=1)], axis=1))
+        y = _pvq_band_device(aa, qp)
+        pulses.append((y * jnp.sign(band)).astype(jnp.int8))
+    return dc, jnp.concatenate(pulses, axis=1), jnp.stack(sums, axis=1)
+
+
+def quantize_streams(streams, qp: int, band_starts, n: int):
+    """Host wrapper: returns numpy (dc, pulses, igain) with igain the
+    exact int64 per-band energy (combined from the int32 split sums)."""
+    dc, pulses, sums = _quantize_streams(
+        jnp.asarray(streams, jnp.int32), qp, tuple(band_starts), n)
+    s = np.asarray(sums).astype(np.int64)
+    igain = (s[..., 0] << 18) + (s[..., 1] << 10) + s[..., 2]
+    return np.asarray(dc), np.asarray(pulses), igain
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "sb", "n", "qp",
+                                             "bands"))
+def _encode_front_q(planes, depth, sb, n, qp, bands):
+    streams = _encode_front(planes.astype(jnp.int32), depth, sb, n)
+    dc, pulses, sums = _quantize_streams(streams, qp, bands, n)
+    # pack everything into one uint8 buffer: a single device->host fetch
+    # (the dev tunnel pays ~29 ms per round trip)
+    nb = dc.shape[0]
+    head = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(dc, jnp.uint8).reshape(nb, -1),
+         jax.lax.bitcast_convert_type(sums, jnp.uint8).reshape(nb, -1)],
+        axis=1)
+    return jnp.concatenate(
+        [head, pulses.astype(jnp.uint8)], axis=1), sums.shape[1]
+
+
+def encode_front_q(planes_padded: np.ndarray, depth: int, qp: int,
+                   band_starts, sb: int = None, n: int = None):
+    """Fused device front: Q12 + lapped prefilter + DCT + zigzag +
+    quantization; only the quantized data (dc, int8 pulses, gain split
+    sums) leaves the device, in one packed fetch.  Uploads stay at the
+    source bit depth (uint8/uint16) to spare the link."""
+    sb = sb or dsp.SB_SIZE
+    n = n or sb
+    dt = np.uint8 if depth <= 8 else np.uint16
+    packed, nbands = _encode_front_q(
+        jnp.asarray(planes_padded.astype(dt)), depth, sb, n, qp,
+        tuple(band_starts))
+    buf = np.asarray(packed)
+    nb = buf.shape[0]
+    dc = buf[:, :4].copy().view(np.int32).reshape(nb)
+    sums = buf[:, 4:4 + nbands * 12].copy().view(np.int32)         .reshape(nb, nbands, 3).astype(np.int64)
+    pulses = buf[:, 4 + nbands * 12:].view(np.int8)
+    igain = (sums[..., 0] << 18) + (sums[..., 1] << 10) + sums[..., 2]
+    return dc, pulses, igain

@@ -425,6 +425,28 @@ struct Ffv2Enc {
         bands_by_size[size_idx(n)].assign(bands, bands + n_bands);
     }
 
+    // EC for pre-quantized data (device PVQ path): dc, per-band cg,
+    // per-AC-position pulses (incl. the phantom tail position)
+    void quant_block_q(int64_t dc, const int32_t* cg, const int8_t* pulses,
+                       int n) {
+        const std::vector<int>& band_starts = bands_by_size[size_idx(n)];
+        ent.encode_golomb((uint32_t)std::llabs(dc));
+        if (dc) ent.encode_bits(dc < 0, 1);
+        for (size_t bi = 0; bi + 1 < band_starts.size(); bi++) {
+            int lo = band_starts[bi], hi = band_starts[bi + 1];
+            ent.encode_golomb((uint32_t)cg[bi]);
+            int pcnt = 0;
+            for (int j = lo; j < hi; j++) {
+                if (pcnt >= qp) break;
+                int av = pulses[j] < 0 ? -pulses[j] : pulses[j];
+                ent.encode_cdf(av, pulse.row(bi % 13), qp, false);
+                pulse.adapt(bi % 13, av, qp);
+                if (av) ent.encode_bits(pulses[j] < 0, 1);
+                pcnt += av;
+            }
+        }
+    }
+
     void quant_block(const int64_t* stream, int n) {
         const std::vector<int>& band_starts = bands_by_size[size_idx(n)];
         int64_t dc = stream[0];
@@ -519,6 +541,24 @@ void ffv2rt_enc_sb(void* h, const int64_t* streams, int n_planes, int n,
                    int tx_type) {
     ffv2rt_enc_split(h, 0);
     ffv2rt_enc_leaf(h, streams, n_planes, n, tx_type);
+}
+
+// pre-quantized frame (device PVQ): dc [n_sb*n_planes], cg
+// [n_sb*n_planes][n_bands], pulses [n_sb*n_planes][ac_len]
+void ffv2rt_enc_frame_q(void* h, const int64_t* dc, const int32_t* cg,
+                        const int8_t* pulses, int64_t ac_len,
+                        int64_t n_bands, int n_sb, int n_planes, int n,
+                        int tx_type) {
+    auto* e = static_cast<f2v::Ffv2Enc*>(h);
+    for (int sb = 0; sb < n_sb; sb++) {
+        ffv2rt_enc_split(h, 0);
+        e->ent.encode_bits(tx_type, 4);
+        for (int p = 0; p < n_planes; p++) {
+            size_t k = (size_t)sb * n_planes + p;
+            e->quant_block_q(dc[k], cg + k * n_bands, pulses + k * ac_len,
+                             n);
+        }
+    }
 }
 
 // code all superblocks of a frame in one call (streams row-major per SB,
