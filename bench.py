@@ -219,6 +219,15 @@ def main():
         mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
         emit("ffv1_1080p_decode_native", mp)
 
+        from ffmpeg_ffv2_tpu.ffv1.batched import BatchedFFV1Decoder
+        bd = BatchedFFV1Decoder(p)
+        keys = [gop(t) for t in range(n_frames)]
+        bd.decode_all(pkts[:2], keys[:2])
+        t0 = time.perf_counter()
+        bd.decode_all(pkts, keys)
+        mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
+        emit("ffv1_1080p_decode_batched_gop", mp)
+
     # ---- 4K encode (host native) ----
     if "4k" in which:
         w4, h4 = 3840, 2160

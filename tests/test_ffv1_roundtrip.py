@@ -90,3 +90,32 @@ def test_slicecrc_detects_corruption():
     assert any(ss.damaged for ss in dec.slice_states)
     # concealment copied the co-located rect from frame 0
     assert out[0].shape == (h, w)
+
+
+def test_batched_gop_decode():
+    """GOP-parallel decode == sequential decode, inter chains intact."""
+    import numpy as np
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    from ffmpeg_ffv2_tpu.ffv1.batched import BatchedFFV1Decoder
+    rng = np.random.RandomState(8)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=1, slices=4, gop_size=4)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    enc = NativeFFV1Codec(p)
+    frames, pkts, keys = [], [], []
+    for t in range(13):
+        f = [rng.randint(0, 256, (h, w)).astype(np.int32),
+             rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32),
+             rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32)]
+        k = t % 4 == 0
+        frames.append(f)
+        keys.append(k)
+        pkts.append(enc.encode(f, k))
+
+    dec = BatchedFFV1Decoder(p, n_workers=3)
+    assert dec.split_gops(pkts, keys) == [(0, 4), (4, 8), (8, 12), (12, 13)]
+    outs = dec.decode_all(pkts, keys)
+    for t, (o, f) in enumerate(zip(outs, frames)):
+        for a, b in zip(o, f):
+            assert np.array_equal(a, b), f"frame {t}"
