@@ -15,6 +15,7 @@ ffv1enc.c:1291-1307, ffv2enc.c:583).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -97,6 +98,11 @@ def make_ffv1_encoder(args, w, h, backend):
     if backend == "tpu":
         from ..ffv1.tpu_encoder import TPUFFV1Encoder
         return TPUFFV1Encoder(w, h, args.pix_fmt, cfg)
+    if backend == "device":
+        # the fully on-device pipeline (phase A + adaptation + arithmetic
+        # coding on the chip); constraints raise with clear messages
+        from ..ffv1.device_coder import DeviceFFV1Encoder
+        return DeviceFFV1Encoder(w, h, args.pix_fmt, cfg)
     from ..ffv1.params import params_from_config
     from ..ffv1.native import NativeFFV1Codec
     from ..ffv1 import headers as H
@@ -217,9 +223,16 @@ def cmd_decode(args):
         from ..ffv1 import FFV1Decoder
         if st.extradata:
             p = Hdr.read_extradata(st.extradata, st.width, st.height)
-            dec = NativeFFV1Codec(p)
-            for pkt in st.packets:
-                frames.append(dec.decode(pkt))
+            workers = getattr(args, "workers", 1)
+            keyflags = getattr(st, "keyflags", None)
+            if workers > 1 and keyflags:
+                from ..ffv1.batched import BatchedFFV1Decoder
+                bd = BatchedFFV1Decoder(p, n_workers=workers)
+                frames = bd.decode_all(st.packets, keyflags)
+            else:
+                dec = NativeFFV1Codec(p)
+                for pkt in st.packets:
+                    frames.append(dec.decode(pkt))
             bits, outfmt = p.bits, p.pix_fmt
         else:
             dec = FFV1Decoder(st.width, st.height)
@@ -286,6 +299,17 @@ def cmd_info(args):
 
 
 def main(argv=None):
+    # persistent jit cache: device-backend compiles are expensive over
+    # slow links; harmless elsewhere
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser(prog="ffv",
                                  description="TPU-native FFV1/FFV2 tool")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -308,7 +332,7 @@ def main(argv=None):
                        help="ffv2 leaf block size (<64 emits the split "
                             "tree; 0 = activity-adaptive)")
         p.add_argument("--backend", default="native",
-                       choices=["native", "tpu", "python"])
+                       choices=["native", "tpu", "device", "python"])
         p.add_argument("-pass", dest="pass_num", type=int, default=0,
                        choices=[0, 1, 2])
         p.add_argument("-passlogfile", default="ffv1pass")
@@ -321,6 +345,8 @@ def main(argv=None):
     pd = sub.add_parser("decode")
     pd.add_argument("-i", dest="input", required=True)
     pd.add_argument("-o", dest="output", required=True)
+    pd.add_argument("-workers", type=int, default=1,
+                    help="GOP-parallel decode pipelines (frame threading)")
     pd.set_defaults(fn=cmd_decode)
 
     pt = sub.add_parser("transcode")
