@@ -143,10 +143,12 @@ def main():
                       for f in frames]
         canon = dev.canonical
 
+        caps = (dev.tiles_cap, dev.cellrows_cap)   # adapted by the gate
+
         def frame_step(t, canon):
-            sv, bit, mode, n_ops, canon = dev._pipeline(
-                planes_dev[t], canon, gop(t))
-            probe = b3(sv, bit, mode) + jnp.max(n_ops)
+            sv, bit, mode, n_ops, canon, sizes = dev._pipeline(
+                planes_dev[t], canon, gop(t), caps)
+            probe = b3(sv, bit, mode) + jnp.max(n_ops) + jnp.sum(sizes)
             return canon, probe, jnp.max(n_ops)
 
         canon, probe, nmax = frame_step(0, canon)        # compile both keys

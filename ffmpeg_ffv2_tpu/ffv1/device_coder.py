@@ -390,7 +390,8 @@ def layout_plan(chain_row, diff, orig, slots_cap: int, tiles_cap: int):
                 tile_caps=tile_caps, tile_bases=tile_bases,
                 tile_pred=tile_pred, lane_rows=lane_rows,
                 lane_cont=lane_cont, lane_last=lane_last,
-                n_rows=jnp.max(base + capT))
+                n_rows=jnp.max(base + capT),
+                n_tiles=jnp.max(tile) + 1, n_slots=jnp.max(slot_b) + 1)
 
 
 def scatter_cells(plan, cellrows_cap: int):
@@ -611,15 +612,22 @@ class DeviceFFV1Encoder:
         n = p.slice_count * self.npix
         self.n = n
         self.n_chain_rows = p.slice_count * self.rows_per_slice
-        # bucket k = the k-th GCAP-sub-lane of every split group; up to
-        # npix/GCAP + 1 buckets, and each bucket's final partial tile can
-        # cost a full GCAP of rows on its own
+        # worst-case bounds: bucket k = the k-th GCAP-sub-lane of every
+        # split group; up to npix/GCAP + 1 buckets, and each bucket's
+        # final partial tile can cost a full GCAP of rows on its own
         n_buckets = self.npix // GCAP + 2
-        self.tiles_cap = (n // GCAP + 2 * n_buckets
+        self.tiles_max = (n // GCAP + 2 * n_buckets
                           + self.n_chain_rows // 128 + 8)
-        self.slots_cap = self.tiles_cap * 128
-        self.cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
-                             + self.tiles_cap + 128)
+        self.cellrows_max = (n // 128 + (n_buckets + 2) * GCAP
+                             + self.tiles_max + 128)
+        # adaptive working sizes: start at a content-typical estimate and
+        # grow on overflow (detected from the layout's actual sizes at
+        # the existing per-frame sync); every downstream static domain —
+        # especially the cell-space unsort — scales with these
+        self.tiles_cap = min(self.tiles_max, n // GCAP
+                             + self.n_chain_rows // 128 + 72)
+        self.cellrows_cap = min(self.cellrows_max,
+                                n // 128 + 6 * GCAP + self.tiles_cap + 128)
         self.ev_cap = self.npix * self.k_max + 128
 
         self.table = packed_transition_table(p)
@@ -671,15 +679,16 @@ class DeviceFFV1Encoder:
         return (jnp.concatenate(ctx_parts, axis=1),
                 jnp.concatenate(diff_parts, axis=1))
 
-    @functools.partial(jax.jit, static_argnames=("self", "keyframe"))
-    def _pipeline(self, planes, canonical, keyframe: bool):
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "keyframe", "caps"))
+    def _pipeline(self, planes, canonical, keyframe: bool, caps=None):
         ctx, diff = self._phase_a(planes)
         svp, btp, hlen = self.prefix[keyframe]
         return self.ops_from_streams(ctx, diff, canonical, svp, btp, hlen,
-                                     keyframe)
+                                     keyframe, caps)
 
     def ops_from_streams(self, ctx, diff, canonical, svp, btp, hlen,
-                         keyframe: bool):
+                         keyframe: bool, caps=None):
         """Streams -> per-slice (sv, bit, mode) op matrices + op counts.
 
         Shard-friendly: n_slices is taken from ctx.shape (the multichip
@@ -688,11 +697,15 @@ class DeviceFFV1Encoder:
         to the shard)."""
         n_slices = ctx.shape[0]
         n = n_slices * self.npix
-        n_buckets = self.npix // GCAP + 2
-        tiles_cap = (n // GCAP + 2 * n_buckets
-                     + (n_slices * self.rows_per_slice) // 128 + 8)
+        if caps is None:
+            n_buckets = self.npix // GCAP + 2
+            tiles_cap = (n // GCAP + 2 * n_buckets
+                         + (n_slices * self.rows_per_slice) // 128 + 8)
+            cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
+                            + tiles_cap + 128)
+        else:
+            tiles_cap, cellrows_cap = caps
         slots_cap = tiles_cap * 128
-        cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP + tiles_cap + 128)
         ev_cap = self.ev_cap
 
         slice_ids = jnp.arange(n_slices, dtype=jnp.int32)[:, None]
@@ -703,6 +716,13 @@ class DeviceFFV1Encoder:
 
         plan = layout_plan(chain_row.reshape(-1), diff.reshape(-1),
                            orig.reshape(-1), slots_cap, tiles_cap)
+        # under a cap overflow this frame's result is garbage (the caller
+        # detects via the size outputs and retries larger); keep the
+        # kernel's DMAs in range regardless
+        lim = cellrows_cap - 1024
+        plan["tile_bases"] = jnp.minimum(plan["tile_bases"], lim)
+        plan["tile_caps"] = jnp.minimum(
+            plan["tile_caps"], lim - plan["tile_bases"])
         ch1c, _ = scatter_cells(plan, cellrows_cap)
 
         if keyframe:
@@ -773,7 +793,9 @@ class DeviceFFV1Encoder:
                                    jnp.where(pos == total + 2, MODE_FLUSH2,
                                              MODE_NOP)))
         n_ops = total[:, 0] + 3
-        return sv_st, bit_st, mode, n_ops, canonical
+        sizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
+                           plan["n_slots"]])
+        return sv_st, bit_st, mode, n_ops, canonical, sizes
 
     def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap):
         if self.use_pallas:
@@ -798,8 +820,26 @@ class DeviceFFV1Encoder:
         if force_keyframe is not None:
             keyframe = bool(force_keyframe)
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
-        sv, bit, mode, n_ops, self.canonical = self._pipeline(
-            dev, self.canonical, keyframe)
+        canon0 = self.canonical
+        for _ in range(8):
+            sv, bit, mode, n_ops, canon, sizes = self._pipeline(
+                dev, canon0, keyframe,
+                (self.tiles_cap, self.cellrows_cap))
+            rows, tiles, slots = (int(v) for v in np.asarray(sizes))
+            if (rows + 1024 <= self.cellrows_cap
+                    and tiles <= self.tiles_cap
+                    and slots <= self.tiles_cap * 128):
+                break
+            # grow the adaptive working sizes and retrace (rare; the
+            # canonical table was not consumed destructively)
+            self.tiles_cap = min(self.tiles_max,
+                                 max(tiles + 64, self.tiles_cap * 2))
+            self.cellrows_cap = min(
+                self.cellrows_max,
+                max(rows + 2048, self.cellrows_cap * 2))
+        else:
+            raise RuntimeError("device layout exceeded worst-case caps")
+        self.canonical = canon
         # arithmetic coding: steps x lanes (pow2 bucket -> jit reuse)
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
         steps = min(steps, int(sv.shape[1]))
