@@ -127,7 +127,7 @@ def _batched_tx(blocks, inverse):
     try:
         from .tpu import fwd_tx_batch, inv_tx_batch
         return (inv_tx_batch if inverse else fwd_tx_batch)(blocks)
-    except Exception:
+    except ImportError:        # jax unavailable: scalar reference path
         fn = dsp.inv_tx_2d if inverse else dsp.fwd_tx_2d
         return np.stack([fn(b) for b in blocks])
 
@@ -202,7 +202,7 @@ class NativeFFV2Encoder:
                 # device front without quantization (older fallback)
                 from .tpu import encode_front
                 streams = encode_front(padded, depth).astype(np.int64)
-            except Exception:
+            except ImportError:     # jax unavailable
                 coeff = [dsp.lap_filter_frame_ver(
                             dsp.lap_filter_frame_hor(
                                 dsp.ref_to_coeff(padded[i], depth),
@@ -235,7 +235,7 @@ class NativeFFV2Encoder:
         try:
             from .tpu import prefilter_frame
             coeff = prefilter_frame(padded, depth)
-        except Exception:
+        except ImportError:         # jax unavailable
             coeff = np.stack([
                 dsp.lap_filter_frame_ver(
                     dsp.lap_filter_frame_hor(
@@ -441,7 +441,7 @@ class NativeFFV2Decoder:
                 return [np.clip(pix[p, :self.height, :self.width]
                                 .astype(np.int64), 0, mx)
                         for p in range(nplanes)]
-            except Exception:
+            except ImportError:     # jax unavailable
                 pass
             order = dsp.scan_order(SB)
             blocks = np.zeros((len(streams), SB * SB), dtype=np.int64)
