@@ -288,17 +288,29 @@ def _next_start(flag):
 
 
 def layout_plan(chain_row, diff, orig, slots_cap: int, tiles_cap: int):
-    """Group-sort + lane/tile layout.  chain_row/diff/orig: flat int32 (N,).
+    """Group-sort + lane/tile layout.
+
+    chain_row/diff/orig: int32, either flat (N,) or (n_slices, npix) —
+    chain rows are slice-prefixed, so sorting each slice's row and
+    flattening equals the flat stable sort while costing far less
+    (lax.sort is strongly superlinear at these sizes).
 
     Returns per-pixel cell channels/destinations, slot-indexed lane tables
     and tile-indexed kernel tables (layout rules in the module docstring).
     """
-    n = chain_row.shape[0]
     i32 = jnp.int32
+    if chain_row.ndim == 2:
+        key1, diff_s, orig_s = jax.lax.sort(
+            (chain_row, diff, orig), num_keys=1, is_stable=True,
+            dimension=1)
+        key1 = key1.reshape(-1)
+        diff_s = diff_s.reshape(-1)
+        orig_s = orig_s.reshape(-1)
+    else:
+        key1, diff_s, orig_s = jax.lax.sort(
+            (chain_row, diff, orig), num_keys=1, is_stable=True)
+    n = key1.shape[0]
     idx = jnp.arange(n, dtype=i32)
-
-    key1, diff_s, orig_s = jax.lax.sort(
-        (chain_row, diff, orig), num_keys=1, is_stable=True)
 
     gstart = jnp.concatenate([jnp.ones(1, bool), key1[1:] != key1[:-1]])
     start = _seg_bcast_max(gstart, idx)
@@ -379,12 +391,13 @@ def layout_plan(chain_row, diff, orig, slots_cap: int, tiles_cap: int):
         pred, mode="drop", unique_indices=True)
 
     ldx = jnp.where(lstart, slot_b, drop)
-    lane_rows = jnp.zeros(slots_cap, i32).at[ldx].set(
-        row_s, mode="drop", unique_indices=True)
-    lane_cont = jnp.zeros(slots_cap, i32).at[ldx].set(
-        (sb_s > 0).astype(i32), mode="drop", unique_indices=True)
-    lane_last = jnp.zeros(slots_cap, i32).at[ldx].set(
-        (sb_s == nsb_s - 1).astype(i32), mode="drop", unique_indices=True)
+    lane_packed = (row_s << 2) | ((sb_s > 0).astype(i32) << 1) \
+        | (sb_s == nsb_s - 1).astype(i32)
+    lane_tab = jnp.zeros(slots_cap, i32).at[ldx].set(
+        lane_packed, mode="drop", unique_indices=True)
+    lane_rows = lane_tab >> 2
+    lane_cont = (lane_tab >> 1) & 1
+    lane_last = lane_tab & 1
 
     return dict(ch1=ch1_s, orig=orig2, dest=dest,
                 tile_caps=tile_caps, tile_bases=tile_bases,
@@ -714,8 +727,7 @@ class DeviceFFV1Encoder:
         orig = (slice_ids * self.npix
                 + jnp.arange(self.npix, dtype=jnp.int32)[None, :])
 
-        plan = layout_plan(chain_row.reshape(-1), diff.reshape(-1),
-                           orig.reshape(-1), slots_cap, tiles_cap)
+        plan = layout_plan(chain_row, diff, orig, slots_cap, tiles_cap)
         # under a cap overflow this frame's result is garbage (the caller
         # detects via the size outputs and retries larger); keep the
         # kernel's DMAs in range regardless
