@@ -126,7 +126,7 @@ def main():
     if "device" in which:
         from ffmpeg_ffv2_tpu.ffv1.pallas_coder import rac_pallas_lanes
         interp = jax.default_backend() != "tpu"
-        ev_use = ((dev.npix * 6) // 512 + 1) * 512
+        ev_use = dev.op_cap
 
         @jax.jit
         def b3(sv, bit, mode):
@@ -143,7 +143,7 @@ def main():
                       for f in frames]
         canon = dev.canonical
 
-        caps = (dev.tiles_cap, dev.cellrows_cap)   # adapted by the gate
+        caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap)  # gate-adapted
 
         def frame_step(t, canon):
             sv, bit, mode, n_ops, canon, sizes = dev._pipeline(
@@ -176,13 +176,12 @@ def main():
         import functools
         ctx, diff = jax.jit(dev._phase_a)(
             [jnp.asarray(pl, jnp.int32) for pl in frames[0]])
-        sl = jnp.arange(30, dtype=jnp.int32)[:, None]
-        chain = (sl * dev.rows_per_slice
-                 + jnp.asarray(dev.class_off_stream)[None, :] + ctx)
-        orig = sl * dev.npix + jnp.arange(dev.npix, dtype=jnp.int32)[None, :]
-        lp = jax.jit(functools.partial(layout_plan, slots_cap=dev.slots_cap,
+        rows = ctx + jnp.asarray(dev.class_off_stream)[None, :]
+        lp = jax.jit(functools.partial(layout_plan,
+                                       rows_per_slice=dev.rows_per_slice,
+                                       slots_cap=dev.tiles_cap * 128,
                                        tiles_cap=dev.tiles_cap))
-        plan = lp(chain.reshape(-1), diff.reshape(-1), orig.reshape(-1))
+        plan = lp(rows, diff)
         ch1c, _ = jax.jit(functools.partial(
             scatter_cells, cellrows_cap=dev.cellrows_cap))(plan)
         s0 = jax.jit(functools.partial(

@@ -25,9 +25,11 @@ pixel-by-pixel.  Pipeline:
    sublanes; the state transition is one lanewise dynamic gather from the
    zero/one tables packed into 128 int32 words (rangecoder.h:104-121
    semantics).  It emits the pre-update state value per (pixel, slot).
-5. un-permute state values to stream order (one more payload sort),
-   re-index slots to emission order, compact to per-slice (sv, bit) op
-   streams, and run the existing lane-parallel arithmetic coder
+5. locate each output op's (pixel, emission index) by a segment gather
+   over an adaptive op-capacity domain (pixel->cell permutation inverted
+   with one scatter; no sort over the padded cell space, no masked
+   log-shift over the full emission grid — both were 15-30x off the HBM
+   roofline), then run the existing lane-parallel arithmetic coder
    (tpu_coder / pallas_coder) plus packet assembly.
 
 The slice headers and keyframe bit are planned on the host (tiny, ~40
@@ -266,145 +268,180 @@ def oracle_plane_ops(p: FFV1Params, ctx_stream: np.ndarray,
 GCAP = 4096          # max pixels per lane (sub-lane size for split groups)
 
 
-def _seg_bcast_max(flag, val):
-    """Broadcast val at flag positions forward over the array (the value
-    must be non-decreasing across flagged positions for plain cummax)."""
-    return jax.lax.cummax(jnp.where(flag, val, -1))
+def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
+                tiles_cap: int):
+    """Group-sort + lane/tile layout (group-domain formulation).
 
+    row_local/diff: int32 (n_slices, npix) per-slice coding-order streams;
+    row_local is the slice-LOCAL chain row (plane-class offset + context).
 
-def _seg_bcast_cummin(flag, val):
-    """Forward-broadcast val at flag positions when the flagged values are
-    non-increasing (the running min sticks to the latest flagged value)."""
-    return jax.lax.cummin(jnp.where(flag, val, jnp.iinfo(jnp.int32).max))
-
-
-def _next_start(flag):
-    """For each i, the smallest j > i with flag[j] (or N)."""
-    n = flag.shape[0]
-    i = jnp.arange(n, dtype=jnp.int32)
-    nxt = jnp.where(flag, i, n)
-    rev = jax.lax.cummin(nxt[::-1])[::-1]
-    return jnp.concatenate([rev[1:], jnp.array([n], jnp.int32)])
-
-
-def layout_plan(chain_row, diff, orig, slots_cap: int, tiles_cap: int):
-    """Group-sort + lane/tile layout.
-
-    chain_row/diff/orig: int32, either flat (N,) or (n_slices, npix) —
-    chain rows are slice-prefixed, so sorting each slice's row and
-    flattening equals the flat stable sort while costing far less
-    (lax.sort is strongly superlinear at these sizes).
-
-    Returns per-pixel cell channels/destinations, slot-indexed lane tables
-    and tile-indexed kernel tables (layout rules in the module docstring).
+    Measured constraint on this chip (tools/microbench_ops.py): XLA
+    pixel-sized gathers run ~10 ns/element while sorts run ~1 ns/element
+    and scatters ~4.5 ns/element — so permutations and broadcasts ride
+    SORTS, small-input SCATTERS and associative-scan forward fills; the
+    only pixel-sized gather-like ops are one 2-channel sort and one
+    masked scatter.  The trick for bringing group-level data to pixels
+    without a gather: one SENTINEL record per chain row is merged into
+    the pixel sort (key (row<<B)|0 sorts immediately before the group's
+    pixels), carries the group's packed lane word, and forward-fills
+    over the group's span.  Every lane/tile decision — bucket ranks,
+    tile caps/bases/predecessors, the slot tables — runs in the group
+    domain (G = n_slices*rows_per_slice, ~1e5) and the tile domain
+    (~1e3).  The produced layout is identical to the original
+    pixel-domain formulation (rules in the module docstring): buckets of
+    GCAP sub-lanes ordered (sub-block asc, n_sb desc, group asc) on
+    fresh tiles, then whole groups ordered (length desc, group asc)
+    packed 128 per tile.
     """
     i32 = jnp.int32
-    if chain_row.ndim == 2:
-        key1, diff_s, orig_s = jax.lax.sort(
-            (chain_row, diff, orig), num_keys=1, is_stable=True,
-            dimension=1)
-        key1 = key1.reshape(-1)
-        diff_s = diff_s.reshape(-1)
-        orig_s = orig_s.reshape(-1)
+    S, npix = row_local.shape
+    G = S * rows_per_slice
+    M = npix + rows_per_slice                 # merged pixels + sentinels
+    RB = max(int(rows_per_slice - 1).bit_length(), 1)
+    B = max(int(npix).bit_length(), 1)
+    drop = jnp.iinfo(i32).max
+    nsb_cap = npix // GCAP + 2
+    pidx = jnp.arange(npix, dtype=i32)[None, :]
+    gq = jnp.arange(rows_per_slice, dtype=i32)[None, :]
+    diff_m = jnp.concatenate(
+        [diff, jnp.zeros((S, rows_per_slice), i32)], axis=1)
+
+    if RB + B <= 31:
+        key = jnp.concatenate(
+            [(row_local << B) | (pidx + 1),
+             jnp.broadcast_to(gq << B, (S, rows_per_slice))], axis=1)
+        key, diff_s = jax.lax.sort((key, diff_m), num_keys=1,
+                                   dimension=1)          # keys unique
+        row_s = key >> B
+        sidx = key & ((1 << B) - 1)
     else:
-        key1, diff_s, orig_s = jax.lax.sort(
-            (chain_row, diff, orig), num_keys=1, is_stable=True)
-    n = key1.shape[0]
-    idx = jnp.arange(n, dtype=i32)
+        rows_m = jnp.concatenate(
+            [row_local, jnp.broadcast_to(gq, (S, rows_per_slice))], axis=1)
+        sidx_m = jnp.concatenate(
+            [jnp.broadcast_to(pidx + 1, row_local.shape),
+             jnp.zeros((S, rows_per_slice), i32)], axis=1)
+        row_s, sidx, diff_s = jax.lax.sort(
+            (rows_m, sidx_m, diff_m), num_keys=2, dimension=1)
+    is_sent = sidx == 0
+    idx_s = sidx - 1                                  # pixel stream index
+    pidx2 = jnp.arange(M, dtype=i32)[None, :]
+    st = jax.lax.cummax(jnp.where(is_sent, pidx2, -1), axis=1)
+    r = pidx2 - st - 1                                # rank within group
+    nxt_row = jnp.concatenate(
+        [row_s[:, 1:], jnp.full((S, 1), -1, i32)], axis=1)
+    gend = (~is_sent) & (row_s != nxt_row)
+    # per-(slice, chain row) group sizes: ONE masked pixel-sized scatter
+    sflat = (jnp.arange(S, dtype=i32)[:, None] * rows_per_slice + row_s)
+    size_g = jnp.zeros(G, i32).at[
+        jnp.where(gend, sflat, drop)].set(
+        r + 1, mode="drop", unique_indices=True).reshape(
+        S, rows_per_slice)
+    # sentinel position of each group (sorted order is by chain row)
+    spos = jnp.cumsum(size_g + 1, axis=1) - (size_g + 1)
 
-    gstart = jnp.concatenate([jnp.ones(1, bool), key1[1:] != key1[:-1]])
-    start = _seg_bcast_max(gstart, idx)
-    gend_pos = _seg_bcast_max(gstart, _next_start(gstart))
-    size = gend_pos - start
-    r = idx - start                                   # rank within group
-    sb = r // GCAP                                    # sub-block index
-    lane_len = jnp.minimum(size - sb * GCAP, GCAP)
-    sort_len = jnp.minimum(size, GCAP)                # split groups pad
-    n_sb = (size + GCAP - 1) // GCAP
-
-    # lane ordering key: (len desc, sb asc, n_sb desc); fits 31 bits
-    key2 = (((GCAP - sort_len) << 18) | (sb << 9)
-            | (511 - jnp.minimum(n_sb, 511))).astype(i32)
-    lane_tag = (sb << 22) | start                     # unique per lane
-
-    gend = idx == gend_pos - 1
-    ch1 = ((diff_s + 2048) | (1 << 13) | (gend.astype(i32) << 14)).astype(i32)
-
-    _, ch1_s, orig2, tag_s, row_s, len_s, sb_s, nsb_s = jax.lax.sort(
-        (key2, ch1, orig_s, lane_tag, key1, lane_len, sb, n_sb),
+    # ---- group-domain class ordering ---------------------------------------
+    # buckets (split groups + exact-GCAP groups) by (n_sb desc, group asc),
+    # then whole groups by (size desc, group asc); empty groups sort last
+    size_f = size_g.reshape(-1)
+    nsb = (size_f + GCAP - 1) // GCAP                 # 0 for empty groups
+    is_bucket = (nsb > 1) | (size_f == GCAP)
+    ckey = jnp.where(is_bucket, -nsb, (1 << 30) + (GCAP - size_f))
+    ckey_s, g_sorted, nsb_sorted, size_sorted = jax.lax.sort(
+        (ckey, jnp.arange(G, dtype=i32), nsb, size_f),
         num_keys=1, is_stable=True)
+    isb_sorted = ckey_s < 0
+    Mb = jnp.sum(isb_sorted.astype(i32))              # bucket group count
+    rank_sorted = jnp.arange(G, dtype=i32) - jnp.where(isb_sorted, 0, Mb)
 
-    lstart = jnp.concatenate([jnp.ones(1, bool), tag_s[1:] != tag_s[:-1]])
-    t2 = idx - _seg_bcast_max(lstart, idx)
+    # bucket k = the k-th GCAP sub-lane of every group with n_sb > k
+    # (k = 0 additionally holds the exact-GCAP groups); membership counts
+    # come straight off the sorted class keys
+    kk = jnp.arange(nsb_cap, dtype=i32)
+    Mk = jnp.searchsorted(ckey_s, -kk, side="left").astype(i32)
+    ntiles_k = -(-Mk // 128)                          # buckets pad to tiles
+    base_k = jnp.cumsum(ntiles_k) - ntiles_k          # bucket k's first tile
+    n_bucket_tiles = jnp.sum(ntiles_k)
+    n_nonempty_norm = (jnp.searchsorted(
+        ckey_s, (1 << 30) + GCAP, side="left").astype(i32) - Mb)
 
-    # ---- slot assignment ----------------------------------------------------
-    # Bucket region (a prefix of the sorted array): every lane whose sort
-    # length is GCAP, grouped by sub-block index sb.  Bucket k holds, in
-    # (n_sb desc, first-sort order), the k-th sub-lane of every group with
-    # n_sb > k, so a group's rank within its bucket is identical for all k
-    # (survivors of bucket k+1 are a prefix of bucket k).  Buckets start
-    # on fresh tiles; sub-lane k+1 therefore sits at the same column, in
-    # the tile exactly one bucket-span later, and the sequential TPU grid
-    # guarantees its predecessor's end states are already in the carry
-    # buffer.
-    is_bucket = (nsb_s > 1) | (len_s == GCAP)
-    blstart = lstart & is_bucket
-    bl = jnp.cumsum(blstart.astype(i32)) - 1          # bucket-lane index
-    seg_start = blstart & jnp.concatenate(
-        [jnp.ones(1, bool), sb_s[1:] != sb_s[:-1]])
-    rank_in_bucket = bl - _seg_bcast_max(seg_start, bl)
+    # ---- tile tables (tile domain) ------------------------------------------
+    T = jnp.arange(tiles_cap, dtype=i32)
+    isbt = T < n_bucket_tiles
+    k_of_T = jnp.clip(jnp.searchsorted(base_k, T, side="right") - 1,
+                      0, nsb_cap - 1)
+    nidx = Mb + 128 * (T - n_bucket_tiles)
+    ncap = jnp.where((nidx >= Mb) & (nidx < G),
+                     jnp.take(size_sorted, jnp.clip(nidx, 0, G - 1)), 0)
+    tile_caps = jnp.where(isbt, GCAP, ncap)
+    tile_bases = jnp.cumsum(tile_caps) - tile_caps
+    prev_base = jnp.take(base_k, jnp.maximum(k_of_T - 1, 0))
+    tile_pred = jnp.where(isbt & (k_of_T > 0),
+                          T - (jnp.take(base_k, k_of_T) - prev_base), -1)
 
-    tile_mark = blstart & ((rank_in_bucket & 127) == 0)
-    tiles_incl = jnp.cumsum(tile_mark.astype(i32))    # padded tiles so far
-    bucket_base = _seg_bcast_max(seg_start, tiles_incl - 1)
-    shifted = jnp.concatenate([jnp.zeros(1, i32), bucket_base[:-1]])
-    prev_base = _seg_bcast_max(seg_start, shifted)    # previous bucket base
+    # ---- slot-indexed lane tables --------------------------------------------
+    # sb = 0 lane of every group: one group-domain scatter
+    slot0 = jnp.where(isb_sorted, rank_sorted,
+                      n_bucket_tiles * 128 + rank_sorted)
+    last0 = ((nsb_sorted == 1) & (size_sorted > 0)).astype(i32)
+    lane_packed0 = (g_sorted << 2) | last0
+    lane_tab = jnp.zeros(slots_cap, i32).at[
+        jnp.where(slot0 < slots_cap, slot0, drop)].set(
+        lane_packed0, mode="drop", unique_indices=True)
+    # sub-lanes k >= 1 exist only for split groups — a prefix of the class
+    # ordering, so a tiny (split_cap, nsb_cap) grid covers them all
+    split_cap = min(S * npix // GCAP + 2, G)
+    sg = g_sorted[:split_cap]
+    snsb = nsb_sorted[:split_cap]
+    ks = jnp.arange(1, nsb_cap, dtype=i32)[None, :]
+    validk = ks < snsb[:, None]
+    slotk = (jnp.take(base_k, jnp.arange(1, nsb_cap))[None, :] * 128
+             + jnp.arange(split_cap, dtype=i32)[:, None])
+    lastk = (ks == snsb[:, None] - 1).astype(i32)
+    packedk = (sg[:, None] << 2) | 2 | lastk
+    lane_tab = lane_tab.at[
+        jnp.where(validk & (slotk < slots_cap), slotk, drop)].set(
+        packedk, mode="drop", unique_indices=True)
 
-    n_bucket_tiles = jnp.max(jnp.where(is_bucket, tiles_incl, 0))
-    n_norm_before = jnp.cumsum((lstart & ~is_bucket).astype(i32)) - 1
-    slot = jnp.where(is_bucket,
-                     (bucket_base << 7) + rank_in_bucket,
-                     (n_bucket_tiles << 7) + n_norm_before)
-    slot_b = _seg_bcast_max(lstart, slot)
+    # ---- per-pixel destinations (sorted order, gather-free) ------------------
+    # per-group lane word: bucket -> (rank << 1) | 1; whole group -> its
+    # sb=0 lane's cell0 = row_base*128 + lane (tile bases in the bucket
+    # prefix are uniform GCAP*tile, so bucket pixels reconstruct their
+    # cell from rank + sub-block index alone)
+    norm_tile = jnp.clip(n_bucket_tiles + (rank_sorted >> 7), 0,
+                         tiles_cap - 1)
+    cell0 = jnp.take(tile_bases, norm_tile) * 128 + (rank_sorted & 127)
+    wprime = jnp.where(isb_sorted, (rank_sorted << 1) | 1, cell0 << 1)
+    w_tab = jnp.zeros(G, i32).at[g_sorted].set(wprime,
+                                               unique_indices=True)
+    # deliver via the group's sentinel + a forward fill (no pixel gather)
+    sent_at = (jnp.arange(S, dtype=i32)[:, None] * M + spos).reshape(-1)
+    wfill = jnp.full(S * M, -1, i32).at[sent_at].set(
+        w_tab, mode="drop", unique_indices=True).reshape(S, M)
+    wfill = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b < 0, a, b), wfill, axis=1)
 
-    lane_in_tile = slot_b & 127
-    tile = slot_b >> 7
-    tile_first = lstart & jnp.concatenate(
-        [jnp.ones(1, bool), tile[1:] != tile[:-1]])
+    sb = r // GCAP
+    t2 = r - sb * GCAP
+    bk = jnp.zeros_like(sb)
+    for k in range(1, nsb_cap):          # tiny static unroll, fused
+        bk = jnp.where(sb == k, base_k[k], bk)
+    v = wfill >> 1
+    dest_b = (GCAP * (bk + (v >> 7)) + t2) * 128 + (v & 127)
+    dest = jnp.where(is_sent, drop,
+                     jnp.where((wfill & 1) == 1, dest_b, v + r * 128))
+    ch1 = (diff_s + 2048) | ((~is_sent).astype(i32) << 13)
+    orig = jnp.where(is_sent, drop,
+                     jnp.arange(S, dtype=i32)[:, None] * npix + idx_s)
 
-    cap_here = jnp.where(is_bucket, GCAP, len_s)
-    capT = _seg_bcast_cummin(tile_first, cap_here)
-    base = jnp.cumsum(jnp.where(tile_first, capT, 0)) - capT
-    dest = ((base + t2) << 7) | lane_in_tile
-
-    # ---- kernel tables -------------------------------------------------------
-    drop = jnp.iinfo(i32).max                  # out-of-range scatter = drop
-    tdx = jnp.where(tile_first, tile, drop)
-    tile_caps = jnp.zeros(tiles_cap, i32).at[tdx].set(
-        capT, mode="drop", unique_indices=True)
-    tile_bases = jnp.zeros(tiles_cap, i32).at[tdx].set(
-        base, mode="drop", unique_indices=True)
-    # carry predecessor: same column, one bucket-span of tiles back
-    pred = jnp.where(is_bucket & (sb_s > 0),
-                     tile - (bucket_base - prev_base), -1)
-    tile_pred = jnp.full(tiles_cap, -1, i32).at[tdx].set(
-        pred, mode="drop", unique_indices=True)
-
-    ldx = jnp.where(lstart, slot_b, drop)
-    lane_packed = (row_s << 2) | ((sb_s > 0).astype(i32) << 1) \
-        | (sb_s == nsb_s - 1).astype(i32)
-    lane_tab = jnp.zeros(slots_cap, i32).at[ldx].set(
-        lane_packed, mode="drop", unique_indices=True)
-    lane_rows = lane_tab >> 2
-    lane_cont = (lane_tab >> 1) & 1
-    lane_last = lane_tab & 1
-
-    return dict(ch1=ch1_s, orig=orig2, dest=dest,
+    return dict(ch1=ch1.reshape(-1), orig=orig.reshape(-1),
+                dest=dest.reshape(-1),
                 tile_caps=tile_caps, tile_bases=tile_bases,
-                tile_pred=tile_pred, lane_rows=lane_rows,
-                lane_cont=lane_cont, lane_last=lane_last,
-                n_rows=jnp.max(base + capT),
-                n_tiles=jnp.max(tile) + 1, n_slots=jnp.max(slot_b) + 1)
+                tile_pred=tile_pred, lane_rows=lane_tab >> 2,
+                lane_cont=(lane_tab >> 1) & 1, lane_last=lane_tab & 1,
+                n_rows=jnp.sum(tile_caps),
+                n_tiles=(n_bucket_tiles
+                         + -(-jnp.maximum(n_nonempty_norm, 0) // 128)),
+                n_slots=n_bucket_tiles * 128 + n_nonempty_norm)
 
 
 def scatter_cells(plan, cellrows_cap: int):
@@ -517,6 +554,36 @@ def writeback_canonical(plan, canonical, end_states, tiles_cap: int):
 # ---------------------------------------------------------------------------
 # masked-stream compaction (XLA shift-merge; pallas variant for the chip)
 # ---------------------------------------------------------------------------
+
+
+def shift_compact_packed(packed, out_len: int):
+    """Stable left-compaction of ONE packed int32 channel along axis -1.
+
+    Layout: bits [31:10] = move distance delta (monotone over valid
+    elements, delta <= index, so the log-shift passes never collide),
+    bit 9 = valid, bit 8 = coded bit, bits [7:0] = state value; invalid
+    slots are all-zero.  Same algorithm as shift_compact, but the single
+    fused array keeps the passes at HBM-roofline cost (measured ~35 ms
+    for the 53M-slot emission grid vs ~162 ms multi-array).  Requires
+    the source length < 2^21 (delta field width)."""
+    m = packed.shape[-1]
+    assert m < (1 << 21), "delta field overflow; use shift_compact"
+    nbits = max(1, int(m - 1).bit_length())
+    for b in range(nbits):
+        step = 1 << b
+        sh = jnp.concatenate(
+            [packed[..., step:],
+             jnp.zeros(packed.shape[:-1] + (step,), packed.dtype)],
+            axis=-1)
+        move_in = ((sh >> 9) & 1 & (sh >> (10 + b))) == 1
+        move_out = ((packed >> 9) & 1 & (packed >> (10 + b))) == 1
+        packed = jnp.where(move_in, sh - (step << 10),
+                           jnp.where(move_out, 0, packed))
+    if m >= out_len:
+        return packed[..., :out_len]
+    return jnp.concatenate(
+        [packed, jnp.zeros(packed.shape[:-1] + (out_len - m,),
+                           packed.dtype)], axis=-1)
 
 
 def shift_compact(channels, valid, dest, out_len: int):
@@ -640,8 +707,7 @@ class DeviceFFV1Encoder:
         self.tiles_cap = min(self.tiles_max, n // GCAP
                              + self.n_chain_rows // 128 + 72)
         self.cellrows_cap = min(self.cellrows_max,
-                                n // 128 + 6 * GCAP + self.tiles_cap + 128)
-        self.ev_cap = self.npix * self.k_max + 128
+                                n // 128 * 5 // 4 + 2 * GCAP + 256)
 
         self.table = packed_transition_table(p)
         self.canonical = jnp.full((self.n_chain_rows + 1, 32), 128,
@@ -667,6 +733,12 @@ class DeviceFFV1Encoder:
             hlen = np.array([len(s) for s in svs], np.int32)
             self.prefix[key] = (jnp.asarray(svp), jnp.asarray(btp),
                                 jnp.asarray(hlen))
+        # adaptive per-slice op-stream capacity (like tiles/cellrows):
+        # start at a content-typical ~4 ops/pixel, grow on overflow
+        hmax = max(int(self.prefix[k][0].shape[1]) for k in (True, False))
+        self.op_cap_max = self.npix * self.k_max + hmax + 8
+        self.op_cap = min(self.op_cap_max,
+                          -(-(self.npix * 4 + hmax + 1024) // 512) * 512)
         self.picture_number = 0
 
     # -- jitted pipeline stages --------------------------------------------
@@ -716,18 +788,15 @@ class DeviceFFV1Encoder:
                          + (n_slices * self.rows_per_slice) // 128 + 8)
             cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
                             + tiles_cap + 128)
+            op_cap = self.npix * self.k_max + int(svp.shape[1]) + 8
         else:
-            tiles_cap, cellrows_cap = caps
+            tiles_cap, cellrows_cap, op_cap = caps
         slots_cap = tiles_cap * 128
-        ev_cap = self.ev_cap
 
-        slice_ids = jnp.arange(n_slices, dtype=jnp.int32)[:, None]
-        chain_row = (slice_ids * self.rows_per_slice
-                     + jnp.asarray(self.class_off_stream)[None, :] + ctx)
-        orig = (slice_ids * self.npix
-                + jnp.arange(self.npix, dtype=jnp.int32)[None, :])
+        row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
 
-        plan = layout_plan(chain_row, diff, orig, slots_cap, tiles_cap)
+        plan = layout_plan(row_local, diff, self.rows_per_slice,
+                           slots_cap, tiles_cap)
         # under a cap overflow this frame's result is garbage (the caller
         # detects via the size outputs and retries larger); keep the
         # kernel's DMAs in range regardless
@@ -745,23 +814,25 @@ class DeviceFFV1Encoder:
                                      cellrows_cap)
         canonical = writeback_canonical(plan, canonical, ends, tiles_cap)
 
-        # cells -> stream order: pack each cell's 32 state bytes into 8
-        # words and ride one sort keyed by original stream position
+        # cells -> stream order: payload sort over the TIGHT cell domain
+        # (on this chip XLA pixel-sized gathers run ~10 ns/element while
+        # sorts run ~1 ns/element — permutations ride sorts; see
+        # tools/microbench_ops.py)
+        i32 = jnp.int32
+        drop = jnp.iinfo(i32).max
         cr = cellrows_cap
         svb = sv_cells.transpose(0, 2, 1).reshape(cr * 128, 32)
-        svb = svb.astype(jnp.int32)
+        svb = svb.astype(i32)
         words = [(svb[:, 4 * j] | (svb[:, 4 * j + 1] << 8)
                   | (svb[:, 4 * j + 2] << 16) | (svb[:, 4 * j + 3] << 24))
                  for j in range(8)]
-        big = jnp.iinfo(jnp.int32).max
-        keys = jnp.full(cr * 128, big, jnp.int32).at[plan["dest"]].set(
+        keys = jnp.full(cr * 128, drop, i32).at[plan["dest"]].set(
             plan["orig"], mode="drop", unique_indices=True)
-        sorted_ops = jax.lax.sort((keys, *words), num_keys=1,
-                                  is_stable=True)
+        sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
         words_n = [w[:n].reshape(n_slices, self.npix)
                    for w in sorted_ops[1:]]
 
-        # emission-order (sv, bit) grid per pixel
+        # emission-order (sv, bit) grid per pixel (select chains — cheap)
         slot, bit, valid = emission_slots(diff, self.k_max)
         wsel = slot >> 2
         sv_em = jnp.zeros_like(slot)
@@ -769,44 +840,59 @@ class DeviceFFV1Encoder:
             sv_em = jnp.where(wsel == j, words_n[j][..., None], sv_em)
         sv_em = (sv_em >> ((slot & 3) * 8)) & 0xFF
 
-        # compact to per-slice op streams, after the host-planned prefix
-        koff = jnp.cumsum(event_count(diff), axis=1)
-        off = (hlen[:, None, None] + (koff - event_count(diff))[..., None]
-               + jnp.arange(self.k_max, dtype=jnp.int32)[None, None, :])
+        # compact to per-slice op streams with ONE packed channel
+        # [delta:21 | valid:1 | bit:1 | sv:8] — a single-array log-shift
+        counts = event_count(diff)
+        koff = jnp.cumsum(counts, axis=1)
+        total = hlen + koff[:, -1]                     # (S,)
+        off = (hlen[:, None, None] + (koff - counts)[..., None]
+               + jnp.arange(self.k_max, dtype=i32)[None, None, :])
         # left-pad by the max header length so every destination (which
         # includes the header offset) stays <= its source index
         hpad = int(svp.shape[1])
         m = hpad + self.npix * self.k_max
+        if m < (1 << 21):
+            idxg = jnp.arange(m - hpad, dtype=i32).reshape(
+                self.npix, self.k_max)[None]
+            delta = jnp.where(valid, idxg + hpad - off, 0)
+            packed = jnp.where(
+                valid, (delta << 10) | (1 << 9) | (bit << 8) | sv_em, 0)
+            packed = jnp.concatenate(
+                [jnp.zeros((n_slices, hpad), i32),
+                 packed.reshape(n_slices, -1)], axis=1)
+            packed = shift_compact_packed(packed, op_cap)
+            sv_st = packed & 0xFF
+            bit_st = (packed >> 8) & 1
+            valid = (packed & (1 << 9)) != 0
+        else:                  # delta field too narrow: multi-array path
+            def lpad(a, fill=0):
+                return jnp.concatenate(
+                    [jnp.full((n_slices, hpad), fill, a.dtype),
+                     a.reshape(n_slices, -1)], axis=1)
 
-        def lpad(a, fill=0):
-            return jnp.concatenate(
-                [jnp.full((n_slices, hpad), fill, a.dtype),
-                 a.reshape(n_slices, -1)], axis=1)
-
-        (sv_st, bit_st), vmask = shift_compact(
-            [lpad(sv_em), lpad(bit)], lpad(valid, False),
-            lpad(off), ev_cap)
+            (sv_st, bit_st), valid = shift_compact(
+                [lpad(sv_em), lpad(bit)], lpad(valid, False),
+                lpad(off), op_cap)
+        pos = jnp.arange(op_cap, dtype=i32)[None, :]
 
         # overlay prefix ops and the terminator / flush tail
-        pos = jnp.arange(ev_cap, dtype=jnp.int32)[None, :]
         in_hdr = pos < hlen[:, None]
-        hsv = jnp.pad(svp, ((0, 0), (0, max(0, ev_cap - svp.shape[1])))
-                      )[:, :ev_cap]
-        hbt = jnp.pad(btp, ((0, 0), (0, max(0, ev_cap - btp.shape[1])))
-                      )[:, :ev_cap]
+        hsv = jnp.pad(svp, ((0, 0), (0, max(0, op_cap - svp.shape[1])))
+                      )[:, :op_cap]
+        hbt = jnp.pad(btp, ((0, 0), (0, max(0, op_cap - btp.shape[1])))
+                      )[:, :op_cap]
         sv_st = jnp.where(in_hdr, hsv, sv_st)
         bit_st = jnp.where(in_hdr, hbt, bit_st)
-        total = hlen[:, None] + koff[:, -1:]
-        term = pos == total
+        term = pos == total[:, None]
         sv_st = jnp.where(term, TERMINATOR_SV, sv_st)
         bit_st = jnp.where(term, 0, bit_st)
-        mode = jnp.where(in_hdr | vmask | term, MODE_OP,
-                         jnp.where(pos == total + 1, MODE_FLUSH1,
-                                   jnp.where(pos == total + 2, MODE_FLUSH2,
-                                             MODE_NOP)))
-        n_ops = total[:, 0] + 3
+        mode = jnp.where(in_hdr | valid | term, MODE_OP,
+                         jnp.where(pos == total[:, None] + 1, MODE_FLUSH1,
+                                   jnp.where(pos == total[:, None] + 2,
+                                             MODE_FLUSH2, MODE_NOP)))
+        n_ops = total + 3
         sizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
-                           plan["n_slots"]])
+                           plan["n_slots"], jnp.max(total) + 3])
         return sv_st, bit_st, mode, n_ops, canonical, sizes
 
     def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap):
@@ -836,11 +922,12 @@ class DeviceFFV1Encoder:
         for _ in range(8):
             sv, bit, mode, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
-                (self.tiles_cap, self.cellrows_cap))
-            rows, tiles, slots = (int(v) for v in np.asarray(sizes))
+                (self.tiles_cap, self.cellrows_cap, self.op_cap))
+            rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
             if (rows + 1024 <= self.cellrows_cap
                     and tiles <= self.tiles_cap
-                    and slots <= self.tiles_cap * 128):
+                    and slots <= self.tiles_cap * 128
+                    and opmax <= self.op_cap):
                 break
             # grow the adaptive working sizes and retrace (rare; the
             # canonical table was not consumed destructively)
@@ -849,6 +936,10 @@ class DeviceFFV1Encoder:
             self.cellrows_cap = min(
                 self.cellrows_max,
                 max(rows + 2048, self.cellrows_cap * 2))
+            if opmax > self.op_cap:
+                self.op_cap = min(
+                    self.op_cap_max,
+                    -(-max(opmax + 512, self.op_cap * 2) // 512) * 512)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
