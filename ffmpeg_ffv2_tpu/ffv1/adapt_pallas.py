@@ -67,7 +67,12 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
             cp_in.start()
             cp_in.wait()
 
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+            # slot rows are PERMUTED (device_coder.SLOT_AT_ROW): row r
+            # holds slot 4*(r&7) + (r>>3), so the sv output packs into
+            # the 8 little-endian int32 words the op assembly wants with
+            # three contiguous sublane-block shifts — no int8 transpose
+            rr = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+            slot_ids = 4 * (rr & 7) + (rr >> 3)
 
             def step(t, s):
                 # all masks int32 in (32, 128) — Mosaic cannot reshape or
@@ -95,12 +100,21 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
                        + ismant * ((a >> jnp.maximum(slot_ids - 22, 0)) & 1)
                        + issign * (v < 0).astype(jnp.int32))
                 vb = valid != 0
-                out_scr[t] = jnp.where(vb, s, 0).astype(jnp.int8)
+                sv = jnp.where(vb, s, 0)
+                out_scr[t] = (sv[0:8] | (sv[8:16] << 8)
+                              | (sv[16:24] << 16) | (sv[24:32] << 24))
                 idx9 = bit * 256 + s
                 ns = lookup_packed(table, idx9)
                 return jnp.where(vb, ns, s)
 
-            s = jax.lax.fori_loop(0, CHUNK, step, s)
+            # 4x unroll: the dependent chain per row is short (gather ->
+            # select); the fori_loop's per-iteration overhead dominates
+            def step4(q, s):
+                for u in range(4):
+                    s = step(q * 4 + u, s)
+                return s
+
+            s = jax.lax.fori_loop(0, CHUNK // 4, step4, s)
             cp_out = pltpu.make_async_copy(
                 out_scr, sv_hbm.at[pl.ds(row0, CHUNK)], dma_sems.at[2])
             cp_out.start()
@@ -124,9 +138,11 @@ def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
                  interpret: bool = False):
     """Same contract as device_coder.adapt_reference.
 
-    Returns (sv_cells (CELLROWS_CAP, 32, 128) uint8, end_states
-    (TILES_CAP, 32, 128) int32).  cellrows_cap must leave >= CHUNK rows of
-    slack past the last tile (device_coder sizes it so)."""
+    Returns (sv_words (CELLROWS_CAP, 8, 128) int32 — packed pre-update
+    state values, word j = slots 4j..4j+3 little-endian — and end_states
+    (TILES_CAP, 32, 128) int32 in SLOT_AT_ROW row order).  cellrows_cap
+    must leave >= CHUNK rows of slack past the last tile (device_coder
+    sizes it so)."""
     carry0 = jnp.zeros((tiles_cap, 32, 128), jnp.int32)
     table = packed_table.reshape(1, 128)
 
@@ -146,7 +162,7 @@ def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
         ),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, 128), jnp.int32),
-            pltpu.VMEM((CHUNK, 32, 128), jnp.int8),
+            pltpu.VMEM((CHUNK, 8, 128), jnp.int32),
             pltpu.VMEM((1, 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -154,11 +170,11 @@ def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
     sv, carry = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, 32, 128), jnp.int8),
+        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, 8, 128), jnp.int32),
                    jax.ShapeDtypeStruct((tiles_cap, 32, 128), jnp.int32)),
         input_output_aliases={6: 1},     # carry buffer in == out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_caps, tile_bases, tile_pred,
       ch1_cells, s0_blocks, table, carry0)
-    return sv.astype(jnp.uint8), carry
+    return sv, carry

@@ -457,6 +457,25 @@ def scatter_cells(plan, cellrows_cap: int):
 # ---------------------------------------------------------------------------
 # adapt walk — XLA reference (CPU/dryrun); mirrors the pallas kernel
 # ---------------------------------------------------------------------------
+#
+# The 32 slot states live as sublane rows in PERMUTED order: row r holds
+# slot 4*(r&7) + (r>>3).  Then the kernel's sv output packs into the 8
+# int32 words the op assembly wants (word j = slots 4j..4j+3, bytes LE)
+# with three contiguous sublane-block shifts — no int8 transpose anywhere:
+#   words = sv[0:8] | sv[8:16]<<8 | sv[16:24]<<16 | sv[24:32]<<24
+
+SLOT_AT_ROW = np.array([4 * (r & 7) + (r >> 3) for r in range(32)],
+                       dtype=np.int32)
+ROW_OF_SLOT = np.array([8 * (s & 3) + (s >> 2) for s in range(32)],
+                       dtype=np.int32)
+
+
+def pack_sv_words(sv_perm):
+    """(..., 32, 128) permuted-row sv bytes -> (..., 8, 128) int32 words."""
+    return (sv_perm[..., 0:8, :]
+            | (sv_perm[..., 8:16, :] << 8)
+            | (sv_perm[..., 16:24, :] << 16)
+            | (sv_perm[..., 24:32, :] << 24))
 
 
 def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
@@ -464,10 +483,12 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
     """Row-scan reference of the adapt kernel (CPU/dryrun path).
 
     ch1_cells: (CELLROWS, 128) int32 cell channel; s0_blocks:
-    (TILES_CAP, 33, 128) int32 — 32 slot-state rows plus row 32 = per-lane
-    continuation flag.  Returns (sv_cells (CELLROWS, 32, 128) uint8,
-    end_states (TILES_CAP, 32, 128) int32 — each tile's lane states after
-    its last row; for split groups these carry to the successor tile).
+    (TILES_CAP, 33, 128) int32 — 32 PERMUTED slot-state rows (see
+    SLOT_AT_ROW) plus row 32 = per-lane continuation flag.  Returns
+    (sv_words (CELLROWS, 8, 128) int32 packed pre-update state values,
+    end_states (TILES_CAP, 32, 128) int32 in permuted row order — each
+    tile's lane states after its last row; for split groups these carry
+    to the successor tile).
 
     Semantics mirror the pallas kernel exactly: rows scan sequentially; at
     a tile's base row the previous tile's states flush to the carry buffer
@@ -513,14 +534,14 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
 
         v = (row & 0xFFF) - 2048
         valid_px = ((row >> 13) & 1) == 1
-        valid, bit = slot_bit_grid(v)            # (128, 32)
-        valid = (valid & valid_px[:, None]).transpose(1, 0)
-        bit = bit.transpose(1, 0)
-        sv = jnp.where(valid, s, 0).astype(jnp.uint8)
+        valid, bit = slot_bit_grid(v)            # (128, 32) standard order
+        valid = (valid & valid_px[:, None])[:, SLOT_AT_ROW].transpose(1, 0)
+        bit = bit[:, SLOT_AT_ROW].transpose(1, 0)
+        sv = jnp.where(valid, s, 0)
         idx9 = jnp.where(bit != 0, 256 + s, s)
         ns = lookup_packed(table, idx9)
         s = jnp.where(valid, ns, s)
-        return (s, cur_tile, carrybuf), sv
+        return (s, cur_tile, carrybuf), pack_sv_words(sv)
 
     s_init = jnp.full((32, 128), 128, i32)
     carrybuf = jnp.zeros((tiles_cap, 32, 128), i32)
@@ -532,20 +553,24 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
 
 def build_s0_blocks(plan, canonical, tiles_cap: int):
     """(TILES_CAP, 33, 128) int32 start-state blocks from the canonical
-    per-chain state table ((rows, 32) uint8): row 32 = continuation flag."""
+    per-chain state table ((rows, 32) uint8): slot rows in SLOT_AT_ROW
+    order, row 32 = continuation flag."""
     rows = plan["lane_rows"].reshape(tiles_cap, 128)
     cont = plan["lane_cont"].reshape(tiles_cap, 128)
-    s0 = jnp.take(canonical.astype(jnp.int32), rows, axis=0)  # (T,128,32)
+    perm = canonical.astype(jnp.int32)[:, jnp.asarray(SLOT_AT_ROW)]
+    s0 = jnp.take(perm, rows, axis=0)                          # (T,128,32)
     s0 = s0.transpose(0, 2, 1)                                 # (T,32,128)
     return jnp.concatenate([s0, cont[:, None, :]], axis=1)
 
 
 def writeback_canonical(plan, canonical, end_states, tiles_cap: int):
     """Store group-end states back into the canonical table for the next
-    (inter) frame; only lanes holding their group's last sub-block write."""
+    (inter) frame; only lanes holding their group's last sub-block write.
+    end_states rows are in SLOT_AT_ROW order; un-permute on the way out."""
     rows = plan["lane_rows"].reshape(tiles_cap * 128)
     last = plan["lane_last"].reshape(tiles_cap * 128) > 0
-    ends = end_states.transpose(0, 2, 1).reshape(tiles_cap * 128, 32)
+    ends = end_states[:, jnp.asarray(ROW_OF_SLOT), :]
+    ends = ends.transpose(0, 2, 1).reshape(tiles_cap * 128, 32)
     tgt = jnp.where(last, rows, jnp.iinfo(jnp.int32).max)
     return canonical.at[tgt].set(ends.astype(jnp.uint8), mode="drop",
                                  unique_indices=True)
@@ -810,7 +835,7 @@ class DeviceFFV1Encoder:
             canonical = jnp.full_like(canonical, 128)
         s0 = build_s0_blocks(plan, canonical, tiles_cap)
 
-        sv_cells, ends = self._adapt(ch1c, plan, s0, tiles_cap,
+        sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
                                      cellrows_cap)
         canonical = writeback_canonical(plan, canonical, ends, tiles_cap)
 
@@ -821,11 +846,7 @@ class DeviceFFV1Encoder:
         i32 = jnp.int32
         drop = jnp.iinfo(i32).max
         cr = cellrows_cap
-        svb = sv_cells.transpose(0, 2, 1).reshape(cr * 128, 32)
-        svb = svb.astype(i32)
-        words = [(svb[:, 4 * j] | (svb[:, 4 * j + 1] << 8)
-                  | (svb[:, 4 * j + 2] << 16) | (svb[:, 4 * j + 3] << 24))
-                 for j in range(8)]
+        words = [sv_words[:, j, :].reshape(cr * 128) for j in range(8)]
         keys = jnp.full(cr * 128, drop, i32).at[plan["dest"]].set(
             plan["orig"], mode="drop", unique_indices=True)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
