@@ -122,47 +122,41 @@ def main():
         emit("ffv1_1080p_encode_tpu_hybrid", mp)
         results["tpu_hybrid"] = mp
 
-    # ---- full device pipeline, device-resident ----
+    # ---- full device pipeline, device-resident (frame in -> packet
+    # bytes out: phase A, layout, adapt, op assembly, arithmetic coder,
+    # byte rendering — everything but the final tiny fetch) ----
     if "device" in which:
-        from ffmpeg_ffv2_tpu.ffv1.pallas_coder import rac_pallas_lanes
-        interp = jax.default_backend() != "tpu"
         ev_use = dev.op_cap
-
-        @jax.jit
-        def b3(sv, bit, mode):
-            svT = jnp.pad(sv[:, :ev_use].T, ((0, 0), (0, 128 - sv.shape[0])))
-            btT = jnp.pad(bit[:, :ev_use].T, ((0, 0), (0, 128 - sv.shape[0])))
-            mdT = jnp.pad(mode[:, :ev_use].T, ((0, 0), (0, 128 - sv.shape[0])))
-            f, c, v = rac_pallas_lanes(svT.astype(jnp.int32),
-                                       btT.astype(jnp.int32),
-                                       mdT.astype(jnp.int32),
-                                       interpret=interp)
-            return jnp.sum(c) + jnp.sum(f[0])
 
         planes_dev = [[jnp.asarray(pl, jnp.int32) for pl in f]
                       for f in frames]
         canon = dev.canonical
 
         caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap)  # gate-adapted
+        rcap = dev.render_cap
 
         def frame_step(t, canon):
             sv, bit, mode, n_ops, canon, sizes = dev._pipeline(
                 planes_dev[t], canon, gop(t), caps)
-            probe = b3(sv, bit, mode) + jnp.max(n_ops) + jnp.sum(sizes)
-            return canon, probe, jnp.max(n_ops)
+            by, ln = dev._code_render(sv, bit, mode, ev_use, rcap)
+            probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
+                     + jnp.sum(by[:, :128].astype(jnp.int32)))
+            return canon, probe, jnp.max(n_ops), jnp.max(ln)
 
-        canon, probe, nmax = frame_step(0, canon)        # compile both keys
-        canon, probe, nmax = frame_step(1, canon)
+        canon, probe, nmax, lmax = frame_step(0, canon)  # compile both keys
+        canon, probe, nmax, lmax = frame_step(1, canon)
         float(probe)
         t0 = time.perf_counter()
         probes = []
         for t in range(n_frames):
-            canon, probe, nmax = frame_step(t, canon)
-            probes.append((probe, nmax))
-        tot = float(sum(pr for pr, _ in probes))          # one sync at end
+            canon, probe, nmax, lmax = frame_step(t, canon)
+            probes.append((probe, nmax, lmax))
+        tot = float(sum(pr for pr, _, _ in probes))       # one sync at end
         dt = time.perf_counter() - t0
-        assert all(float(nm) <= ev_use for _, nm in probes), \
+        assert all(float(nm) <= ev_use for _, nm, _ in probes), \
             "device pipeline op-stream overflow (raise EV bound)"
+        assert all(float(lm) <= rcap for _, _, lm in probes), \
+            "device render buffer overflow (raise render_cap)"
         assert np.isfinite(tot)
         mp = n_frames * w * h / dt / 1e6
         emit("ffv1_1080p_encode_tpu_device", mp)

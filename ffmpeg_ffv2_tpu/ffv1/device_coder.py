@@ -675,15 +675,19 @@ class DeviceFFV1Encoder:
             raise NotImplementedError("device coder: version 3 only")
         if p.ac == CODER_GOLOMB:
             raise NotImplementedError("device coder: range modes only")
-        if p.bits > 10:
-            raise NotImplementedError("device coder: bits <= 10 "
+        # RGB codes the RCT planes at depth bits+1 (lbd path,
+        # ffv1enc_template.c:193); the slot-grid expansion needs the
+        # CODING depth <= 10
+        self.code_bits = max(p.bits, 8) + 1 if p.colorspace == 1 else p.bits
+        if self.code_bits > 10:
+            raise NotImplementedError("device coder: coding depth <= 10 "
                                       "(no slot repeats per pixel)")
-        if p.colorspace != 0:
-            raise NotImplementedError("device coder: YUV/gray only")
+        if p.colorspace == 1 and p.use32bit:
+            raise NotImplementedError("device coder: RGB <= 14 bpc")
         if p.initial_states is not None:
             raise NotImplementedError("device coder: custom initial states")
         self.use_pallas = use_pallas
-        self.k_max = k_max_for_bits(p.bits)
+        self.k_max = k_max_for_bits(self.code_bits)
 
         # crop plan (one rect per (plane, slice)); uniform shapes required
         from .tpu_encoder import TPUFFV1Encoder
@@ -699,14 +703,22 @@ class DeviceFFV1Encoder:
         self.five = bool(p.quant_tables[p.context_model][3][127]
                          or p.quant_tables[p.context_model][4][127])
 
-        # stream structure: planes concatenated per slice
+        # stream structure: YUV concatenates whole planes per slice;
+        # RGB interleaves per line (g,b,r[,a] rows alternate —
+        # ffv1enc_template.c:188-198); bank = (plane+1)//2 in both
         n_planes = len(self.crop_plan)
         self.plane_sizes = [prects[0][2] * prects[0][3]
                             for prects in self.crop_plan]
         self.npix = int(np.sum(self.plane_sizes))
-        pclass = np.concatenate([
-            np.full(sz, (li + 1) // 2, np.int32)
-            for li, sz in enumerate(self.plane_sizes)])
+        if p.colorspace == 1:
+            sw, sh = self.crop_plan[0][0][2], self.crop_plan[0][0][3]
+            pclass = np.tile(np.repeat(
+                np.array([(li + 1) // 2 for li in range(n_planes)],
+                         np.int32), sw), sh)
+        else:
+            pclass = np.concatenate([
+                np.full(sz, (li + 1) // 2, np.int32)
+                for li, sz in enumerate(self.plane_sizes)])
         ss = SliceState(p)
         self.class_counts = ss.plane_ctx_count        # per plane_count
         class_off = np.zeros(p.plane_count, np.int32)
@@ -764,6 +776,12 @@ class DeviceFFV1Encoder:
         self.op_cap_max = self.npix * self.k_max + hmax + 8
         self.op_cap = min(self.op_cap_max,
                           -(-(self.npix * 4 + hmax + 1024) // 512) * 512)
+        # per-slice rendered-packet capacity (adaptive, like op_cap):
+        # each rac op emits at most one staged byte (+ run fills), so
+        # op_cap_max + slack bounds any slice; start at ~1 byte/pixel
+        self.render_cap_max = self.op_cap_max + 16
+        self.render_cap = min(self.render_cap_max,
+                              -(-(self.npix + 4096) // 4096) * 4096)
         self.picture_number = 0
 
     # -- jitted pipeline stages --------------------------------------------
@@ -774,6 +792,32 @@ class DeviceFFV1Encoder:
         (n_slices, npix) in coding order."""
         from .tpu import plane_context_diff, _wrap16
         p = self.p
+        if p.colorspace == 1:
+            # fixed 1,1 RCT (version <= 3 lbd path), then per-plane
+            # modeling at depth bits+1; stream interleaves lines
+            # (ffv1enc_template.c:175-198)
+            rects = self.crop_plan[0]
+            swap = (not p.use32bit and not p.transparency and p.bits > 8)
+            order = ((1, 0, 2) if swap else (0, 1, 2)) \
+                + ((3,) if p.transparency else ())
+            crops = [jnp.stack([
+                jax.lax.dynamic_slice(planes[k], (y, x), (h, w))
+                for (x, y, w, h) in rects]).astype(jnp.int32)
+                for k in order]
+            g, b, r = crops[0], crops[1], crops[2]
+            offset = 1 << max(p.bits, 8)
+            b2 = b - g
+            r2 = r - g
+            g2 = g + ((b2 + r2) >> 2)
+            coded = [g2, b2 + offset, r2 + offset] \
+                + ([crops[3]] if p.transparency else [])
+            fn = functools.partial(plane_context_diff, qt=self.qt,
+                                   bits=self.code_bits, five=self.five)
+            outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
+            ctx = jnp.stack([c for c, _ in outs], axis=2)
+            diff = jnp.stack([d for _, d in outs], axis=2)
+            return (ctx.reshape(p.slice_count, -1),
+                    diff.reshape(p.slice_count, -1))
         ctx_parts, diff_parts = [], []
         for li, prects in enumerate(self.crop_plan):
             x0, y0, w, h = prects[0][0], prects[0][1], prects[0][2], prects[0][3]
@@ -789,9 +833,21 @@ class DeviceFFV1Encoder:
         return (jnp.concatenate(ctx_parts, axis=1),
                 jnp.concatenate(diff_parts, axis=1))
 
+    def _pipeline(self, planes, canonical, keyframe: bool, caps=None):
+        # one fused XLA program on the chip (eager per-op dispatch would
+        # serialize ~150 launches through the host); on CPU (tests,
+        # dryrun) stay eager — the giant fused program takes minutes to
+        # compile in XLA:CPU and per-op dispatch there is cheap
+        if jax.default_backend() == "tpu":
+            return self._pipeline_jit(planes, canonical, keyframe, caps)
+        return self._pipeline_impl(planes, canonical, keyframe, caps)
+
     @functools.partial(jax.jit,
                        static_argnames=("self", "keyframe", "caps"))
-    def _pipeline(self, planes, canonical, keyframe: bool, caps=None):
+    def _pipeline_jit(self, planes, canonical, keyframe: bool, caps):
+        return self._pipeline_impl(planes, canonical, keyframe, caps)
+
+    def _pipeline_impl(self, planes, canonical, keyframe: bool, caps=None):
         ctx, diff = self._phase_a(planes)
         svp, btp, hlen = self.prefix[keyframe]
         return self.ops_from_streams(ctx, diff, canonical, svp, btp, hlen,
@@ -928,11 +984,37 @@ class DeviceFFV1Encoder:
                                plan["tile_pred"], s0,
                                jnp.asarray(self.table), tiles_cap)
 
+    def _code_render(self, sv, bit, mode, steps, buf_cap):
+        """Arithmetic coding + packet-byte rendering, fully on device.
+
+        sv/bit/mode: (S, op_cap) op streams from the pipeline.  Returns
+        (bytes uint8 (S, buf_cap), true lengths int32 (S,)) — the only
+        data the host ever fetches."""
+        if jax.default_backend() == "tpu":
+            return self._code_render_jit(sv, bit, mode, steps, buf_cap)
+        return self._code_render_impl(sv, bit, mode, steps, buf_cap)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "steps", "buf_cap"))
+    def _code_render_jit(self, sv, bit, mode, steps, buf_cap):
+        return self._code_render_impl(sv, bit, mode, steps, buf_cap)
+
+    def _code_render_impl(self, sv, bit, mode, steps, buf_cap):
+        S = sv.shape[0]
+        svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, 128 - S)))
+        btT = jnp.pad(bit[:, :steps].T, ((0, 0), (0, 128 - S)))
+        mdT = jnp.pad(mode[:, :steps].T, ((0, 0), (0, 128 - S)))
+        if jax.default_backend() == "tpu":
+            from .pallas_coder import rac_pallas_lanes
+            f, c, v = rac_pallas_lanes(svT, btT, mdT)
+        else:
+            from .tpu_coder import rac_scan_lanes
+            f, c, v = rac_scan_lanes(svT, btT, mdT)
+        return render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+
     # -- public API -----------------------------------------------------------
 
     def encode(self, planes, force_keyframe=None) -> bytes:
-        from .tpu_coder import rac_scan_lanes, compact_lane, \
-            MODE_OP as _MO
         p = self.p
         gop = self.cfg.gop_size
         keyframe = (gop == 0 or self.picture_number % gop == 0)
@@ -964,17 +1046,26 @@ class DeviceFFV1Encoder:
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
-        # arithmetic coding: steps x lanes (pow2 bucket -> jit reuse)
+        # arithmetic coding + rendering on device (steps: pow2 bucket ->
+        # jit reuse); the host fetches only packed bytes + lengths
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
-        steps = min(steps, int(sv.shape[1]))
-        sv = np.asarray(sv)[:, :steps].T.astype(np.int32)
-        bit = np.asarray(bit)[:, :steps].T.astype(np.int32)
-        mode = np.asarray(mode)[:, :steps].T.astype(np.int32)
-        first, fcount, fval = (np.asarray(a) for a in rac_scan_lanes(
-            jnp.asarray(sv), jnp.asarray(bit), jnp.asarray(mode)))
+        steps = max(512, min(steps, int(sv.shape[1])))
+        for _ in range(6):
+            by, ln = self._code_render(sv, bit, mode, steps,
+                                       self.render_cap)
+            ln_h = np.asarray(ln)
+            if int(ln_h.max()) <= self.render_cap:
+                break
+            self.render_cap = min(
+                self.render_cap_max,
+                -(-max(int(ln_h.max()) + 4096,
+                       self.render_cap * 2) // 4096) * 4096)
+        else:
+            raise RuntimeError("render buffer exceeded worst-case cap")
+        by_h = np.asarray(by)
         chunks = []
         for si in range(p.slice_count):
-            data = compact_lane(first[:, si], fcount[:, si], fval[:, si])
+            data = by_h[si, :int(ln_h[si])].tobytes()
             if si > 0 or p.version > 2:
                 assert len(data) < (1 << 24)
                 data += len(data).to_bytes(3, "big")

@@ -160,6 +160,7 @@ def test_oracle_stream_matches_native_plan():
     ("yuv420p", (64, 48), -2),          # default-table range coder
     ("gray", (48, 32), 1),
     ("yuv422p10", (32, 32), 1),
+    ("bgr0", (48, 32), 1),              # RGB: RCT + line-interleaved stream
 ])
 def test_device_encoder_byte_exact(pix, wh, coder):
     """Full XLA device pipeline == native packets, key + inter frames."""
