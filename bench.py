@@ -132,7 +132,8 @@ def main():
                       for f in frames]
         canon = dev.canonical
 
-        caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap)  # gate-adapted
+        caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap,
+                dev.sortrows_cap)                             # gate-adapted
         rcap = dev.render_cap
 
         def frame_step(t, canon):

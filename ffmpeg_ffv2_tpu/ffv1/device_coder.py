@@ -445,11 +445,16 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
 
 
 def scatter_cells(plan, cellrows_cap: int):
-    """Scatter the two cell channels into the tile-major layout."""
+    """Scatter the two cell channels into the tile-major layout.
+
+    ch2 holds each cell's stream index (empty cells = int32 max) — it
+    doubles as the sort key of the post-adapt unsort, so the pipeline
+    does not scatter `orig` a second time."""
     cells = cellrows_cap * 128
+    drop = jnp.iinfo(jnp.int32).max
     ch1 = jnp.zeros(cells, jnp.int32).at[plan["dest"]].set(
         plan["ch1"], mode="drop", unique_indices=True)
-    ch2 = jnp.zeros(cells, jnp.int32).at[plan["dest"]].set(
+    ch2 = jnp.full(cells, drop, jnp.int32).at[plan["dest"]].set(
         plan["orig"], mode="drop", unique_indices=True)
     return ch1.reshape(cellrows_cap, 128), ch2.reshape(cellrows_cap, 128)
 
@@ -745,6 +750,11 @@ class DeviceFFV1Encoder:
                              + self.n_chain_rows // 128 + 72)
         self.cellrows_cap = min(self.cellrows_max,
                                 n // 128 * 5 // 4 + 2 * GCAP + 256)
+        # unsort domain: real cells are a dense prefix of the cell
+        # buffer (tile_bases = cumsum of caps); the payload sort only
+        # needs n_rows, not the DMA slack, so it gets a tighter cap
+        self.sortrows_cap = min(self.cellrows_cap,
+                                n // 128 * 9 // 8 + 1024)
 
         self.table = packed_transition_table(p)
         self.canonical = jnp.full((self.n_chain_rows + 1, 32), 128,
@@ -870,8 +880,13 @@ class DeviceFFV1Encoder:
             cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
                             + tiles_cap + 128)
             op_cap = self.npix * self.k_max + int(svp.shape[1]) + 8
-        else:
+            sortrows_cap = cellrows_cap
+        elif len(caps) == 3:
             tiles_cap, cellrows_cap, op_cap = caps
+            sortrows_cap = cellrows_cap
+        else:
+            tiles_cap, cellrows_cap, op_cap, sortrows_cap = caps
+        sortrows_cap = min(sortrows_cap, cellrows_cap)
         slots_cap = tiles_cap * 128
 
         row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
@@ -885,7 +900,7 @@ class DeviceFFV1Encoder:
         plan["tile_bases"] = jnp.minimum(plan["tile_bases"], lim)
         plan["tile_caps"] = jnp.minimum(
             plan["tile_caps"], lim - plan["tile_bases"])
-        ch1c, _ = scatter_cells(plan, cellrows_cap)
+        ch1c, ch2c = scatter_cells(plan, cellrows_cap)
 
         if keyframe:
             canonical = jnp.full_like(canonical, 128)
@@ -898,13 +913,16 @@ class DeviceFFV1Encoder:
         # cells -> stream order: payload sort over the TIGHT cell domain
         # (on this chip XLA pixel-sized gathers run ~10 ns/element while
         # sorts run ~1 ns/element — permutations ride sorts; see
-        # tools/microbench_ops.py)
+        # tools/microbench_ops.py).  Real cells occupy the dense prefix
+        # [0, n_rows): the sort runs on the adaptive sortrows_cap prefix
+        # (~n/128 * 9/8), not the DMA-slack-padded cell buffer; keys are
+        # scatter_cells' ch2 (stream index per cell, empty = int32 max)
         i32 = jnp.int32
         drop = jnp.iinfo(i32).max
-        cr = cellrows_cap
-        words = [sv_words[:, j, :].reshape(cr * 128) for j in range(8)]
-        keys = jnp.full(cr * 128, drop, i32).at[plan["dest"]].set(
-            plan["orig"], mode="drop", unique_indices=True)
+        scap = sortrows_cap
+        words = [sv_words[:scap, j, :].reshape(scap * 128)
+                 for j in range(8)]
+        keys = ch2c[:scap].reshape(scap * 128)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
         words_n = [w[:n].reshape(n_slices, self.npix)
                    for w in sorted_ops[1:]]
@@ -1025,9 +1043,11 @@ class DeviceFFV1Encoder:
         for _ in range(8):
             sv, bit, mode, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
-                (self.tiles_cap, self.cellrows_cap, self.op_cap))
+                (self.tiles_cap, self.cellrows_cap, self.op_cap,
+                 self.sortrows_cap))
             rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
             if (rows + 1024 <= self.cellrows_cap
+                    and rows <= self.sortrows_cap
                     and tiles <= self.tiles_cap
                     and slots <= self.tiles_cap * 128
                     and opmax <= self.op_cap):
@@ -1039,6 +1059,9 @@ class DeviceFFV1Encoder:
             self.cellrows_cap = min(
                 self.cellrows_max,
                 max(rows + 2048, self.cellrows_cap * 2))
+            self.sortrows_cap = min(
+                self.cellrows_cap,
+                max(rows + 512, self.sortrows_cap * 2))
             if opmax > self.op_cap:
                 self.op_cap = min(
                     self.op_cap_max,
