@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .device_coder import lookup_packed
+from .device_coder import lookup_packed, n_sv_words
 
 CHUNK = 512
 
@@ -36,11 +36,13 @@ CHUNK = 512
 def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
             ch1_hbm, s0_ref, table_ref, carry_alias,
             sv_hbm, carry_hbm,
-            in_scr, out_scr, carry_scr, dma_sems):
+            in_scr, out_scr, carry_scr, dma_sems,
+            *, code_bits: int):
     i = pl.program_id(0)
     cap = caps_ref[i]
     base = bases_ref[i]
     pred = preds_ref[i]
+    R = max(0, code_bits - 10)
 
     @pl.when(cap > 0)
     def _tile():
@@ -79,33 +81,69 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
                 # transpose 1-bit vectors, so booleans appear only in the
                 # final selects (2-D comparisons, no layout changes)
                 row = in_scr[t, :]
-                okpx = (row >> 13) & 1
+                if code_bits > 10:
+                    okpx = (row >> 16) & 1
+                    v0 = (row & 0xFFFF) - 32768
+                else:
+                    okpx = (row >> 13) & 1
+                    v0 = (row & 0xFFF) - 2048
                 okpx = okpx * ((c * CHUNK + t) < cap).astype(jnp.int32)
-                v = jnp.broadcast_to(((row & 0xFFF) - 2048)[None, :],
-                                     (32, 128))
+                v = jnp.broadcast_to(v0[None, :], (32, 128))
                 okpx = jnp.broadcast_to(okpx[None, :], (32, 128))
                 a = jnp.abs(v)
                 f = a.astype(jnp.float32)
                 e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
                 nz = (v != 0).astype(jnp.int32)
                 is0 = (slot_ids == 0).astype(jnp.int32)
-                isexp = ((slot_ids >= 1) & (slot_ids <= e + 1)) \
+                # first hits only; the FFMIN-capped repeats of slots
+                # 10/31 (e > 9) run as sub-steps below
+                eE = jnp.minimum(e + 1, 10)
+                eM = jnp.minimum(e, 10)
+                isexp = ((slot_ids >= 1) & (slot_ids <= eE)) \
                     .astype(jnp.int32)
-                ismant = ((slot_ids >= 22) & (slot_ids <= 21 + e)) \
+                ismant = ((slot_ids >= 22) & (slot_ids <= 21 + eM)) \
                     .astype(jnp.int32)
-                issign = (slot_ids == 11 + e).astype(jnp.int32)
+                issign = (slot_ids == 11 + eM).astype(jnp.int32)
                 valid = (is0 | (nz & (isexp | ismant | issign))) & okpx
+                msh = jnp.where((slot_ids == 31) & (e > 9),
+                                e - 1, slot_ids - 22)
                 bit = (is0 * (1 - nz)
                        + isexp * (slot_ids <= e).astype(jnp.int32)
-                       + ismant * ((a >> jnp.maximum(slot_ids - 22, 0)) & 1)
+                       + ismant * ((a >> jnp.maximum(msh, 0)) & 1)
                        + issign * (v < 0).astype(jnp.int32))
                 vb = valid != 0
                 sv = jnp.where(vb, s, 0)
-                out_scr[t] = (sv[0:8] | (sv[8:16] << 8)
-                              | (sv[16:24] << 16) | (sv[24:32] << 24))
+                packed = (sv[0:8] | (sv[8:16] << 8)
+                          | (sv[16:24] << 16) | (sv[24:32] << 24))
                 idx9 = bit * 256 + s
                 ns = lookup_packed(table, idx9)
-                return jnp.where(vb, ns, s)
+                s = jnp.where(vb, ns, s)
+                if R > 0:
+                    # repeat hits of slots 10/31: sub-step j = hit j+1
+                    is10 = (slot_ids == 10).astype(jnp.int32)
+                    is31 = (slot_ids == 31).astype(jnp.int32)
+                    wsel = is10 + 256 * is31
+                    pairs = []
+                    for j in range(1, R + 1):
+                        vj = ((is10 * (e >= 9 + j)
+                               + is31 * (e >= 10 + j)) & okpx)
+                        bj = (is10 * (e >= j + 10).astype(jnp.int32)
+                              + is31 * ((a >> jnp.maximum(e - 1 - j, 0))
+                                        & 1))
+                        vjb = vj != 0
+                        svj = jnp.where(vjb, s, 0)
+                        pairs.append(jnp.sum(svj * wsel, axis=0,
+                                             keepdims=True))
+                        nsj = lookup_packed(table, bj * 256 + s)
+                        s = jnp.where(vjb, nsj, s)
+                    if len(pairs) % 2:
+                        pairs.append(jnp.zeros_like(pairs[0]))
+                    ext = jnp.concatenate(
+                        [pairs[2 * w] | (pairs[2 * w + 1] << 16)
+                         for w in range(len(pairs) // 2)], axis=0)
+                    packed = jnp.concatenate([packed, ext], axis=0)
+                out_scr[t] = packed
+                return s
 
             # 4x unroll: the dependent chain per row is short (gather ->
             # select); the fori_loop's per-iteration overhead dominates
@@ -132,17 +170,19 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
 
 @functools.partial(jax.jit,
                    static_argnames=("tiles_cap", "cellrows_cap",
-                                    "interpret"))
+                                    "code_bits", "interpret"))
 def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
                  packed_table, tiles_cap: int, cellrows_cap: int,
-                 interpret: bool = False):
+                 code_bits: int = 10, interpret: bool = False):
     """Same contract as device_coder.adapt_reference.
 
-    Returns (sv_words (CELLROWS_CAP, 8, 128) int32 — packed pre-update
-    state values, word j = slots 4j..4j+3 little-endian — and end_states
+    Returns (sv_words (CELLROWS_CAP, W, 128) int32 — 8 packed pre-update
+    base words (word j = slots 4j..4j+3 little-endian) plus, for coding
+    depths > 10, (R+1)//2 repeat-pair words — and end_states
     (TILES_CAP, 32, 128) int32 in SLOT_AT_ROW row order).  cellrows_cap
     must leave >= CHUNK rows of slack past the last tile (device_coder
     sizes it so)."""
+    W = n_sv_words(code_bits)
     carry0 = jnp.zeros((tiles_cap, 32, 128), jnp.int32)
     table = packed_table.reshape(1, 128)
 
@@ -162,15 +202,15 @@ def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
         ),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, 128), jnp.int32),
-            pltpu.VMEM((CHUNK, 8, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, W, 128), jnp.int32),
             pltpu.VMEM((1, 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     sv, carry = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, code_bits=code_bits),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, 8, 128), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, W, 128), jnp.int32),
                    jax.ShapeDtypeStruct((tiles_cap, 32, 128), jnp.int32)),
         input_output_aliases={6: 1},     # carry buffer in == out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

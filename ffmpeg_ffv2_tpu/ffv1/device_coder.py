@@ -92,15 +92,26 @@ def lookup_packed(table: jnp.ndarray, idx9: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# put_symbol expansion (bits <= 10, so e <= 9: no slot repeats per pixel)
+# put_symbol expansion.  For coding depth <= 10 (e <= 9) every state slot
+# is hit at most once per pixel.  Deeper formats (<= 16) repeat slots 10
+# (exponent cap) and 31 (mantissa cap) up to e-9 extra times each
+# (put_symbol_inline FFMIN caps, ffv1enc.c:217-226); the adapt kernels
+# run R = bits-10 masked sub-steps per pixel for those and emit the
+# repeat state values in (R+1)//2 extra packed words.
 # ---------------------------------------------------------------------------
 
 
 def k_max_for_bits(bits: int) -> int:
-    """Worst-case rac ops per pixel: 2*e_max + 3, e_max = bits-1 <= 9."""
-    if bits > 10:
-        raise ValueError("slot-grid expansion needs e <= 9 (bits <= 10)")
+    """Worst-case rac ops per pixel: 2*e_max + 3, e_max = bits-1 <= 15."""
+    if bits > 16:
+        raise ValueError("slot-grid expansion needs e <= 15 (bits <= 16)")
     return 2 * (bits - 1) + 3
+
+
+def n_sv_words(bits: int) -> int:
+    """Packed sv words per cell: 8 base + ceil(R/2) repeat-pair words."""
+    r = max(0, bits - 10)
+    return 8 + (r + 1) // 2
 
 
 def exponent(a):
@@ -117,14 +128,16 @@ def event_count(diff):
 
 
 def slot_bit_grid(diff):
-    """Per (pixel, slot) validity and coded bit for all 32 state slots.
+    """Per (pixel, slot) validity and coded bit of each slot's FIRST hit.
 
     diff: int32 [...]; returns (valid bool [..., 32], bit int32 [..., 32])
-    following put_symbol_inline (ffv1enc.c:203-230):
+    following put_symbol_inline (ffv1enc.c:203-230) incl. the e > 9 FFMIN
+    caps (repeat hits of slots 10/31 are handled by the adapt sub-steps):
       slot 0: always, bit = (v == 0)
-      slots 1..e: exponent ones; slot e+1: terminator zero
-      slots 22..22+e-1: mantissa bit i = slot-22 (value (a>>i)&1)
-      slot 11+e: sign (v < 0)
+      slots 1..min(e+1,10): exponent ones then terminator zero
+      slots 22..21+min(e,10): mantissa (slot 31's first hit is i = e-1
+        when e > 9, else i = slot-22)
+      slot 11+min(e,10): sign (v < 0)
     """
     v = diff[..., None]
     a = jnp.abs(v)
@@ -133,20 +146,22 @@ def slot_bit_grid(diff):
     s = jnp.broadcast_to(s, v.shape[:-1] + (32,))
     nz = v != 0
     is0 = s == 0
-    isexp = (s >= 1) & (s <= e + 1)
-    ismant = (s >= 22) & (s <= 22 + e - 1)
-    issign = s == 11 + e
+    isexp = (s >= 1) & (s <= jnp.minimum(e + 1, 10))
+    ismant = (s >= 22) & (s <= 21 + jnp.minimum(e, 10))
+    issign = s == 11 + jnp.minimum(e, 10)
     valid = is0 | (nz & (isexp | ismant | issign))
+    msh = jnp.where((s == 31) & (e > 9), e - 1, s - 22)
     bit = jnp.where(is0, (v == 0).astype(jnp.int32),
           jnp.where(isexp, (s <= e).astype(jnp.int32),
-          jnp.where(ismant, (a >> jnp.maximum(s - 22, 0)) & 1,
+          jnp.where(ismant, (a >> jnp.maximum(msh, 0)) & 1,
                     (v < 0).astype(jnp.int32))))
     return valid, bit.astype(jnp.int32)
 
 
 def emission_slots(diff, k_max: int):
     """Per (pixel, k) the state slot and coded bit in *emission order*:
-    [slot0][exp 1..e asc][term e+1][mantissa desc 22+e-1..22][sign 11+e].
+    [slot0][exp asc][term][mantissa desc][sign], with the e > 9 FFMIN
+    caps (slots 10/31 repeat; see module comment).
 
     Returns (slot int32 [..., K], bit int32 [..., K], valid bool [..., K]).
     """
@@ -159,9 +174,10 @@ def emission_slots(diff, k_max: int):
     valid = jnp.where(nz, k <= 2 * e + 2, k == 0)
     mant_i = 2 * e + 1 - k                    # for the mantissa span
     slot = jnp.where(k == 0, 0,
-           jnp.where(k <= e, k,
-           jnp.where(k == e + 1, e + 1,
-           jnp.where(k <= 2 * e + 1, 22 + mant_i, 11 + e))))
+           jnp.where(k <= e, jnp.minimum(k, 10),
+           jnp.where(k == e + 1, jnp.minimum(e + 1, 10),
+           jnp.where(k <= 2 * e + 1, 22 + jnp.minimum(mant_i, 9),
+                     11 + jnp.minimum(e, 10)))))
     bit = jnp.where(k == 0, (v == 0).astype(jnp.int32),
           jnp.where(k <= e, 1,
           jnp.where(k == e + 1, 0,
@@ -169,6 +185,28 @@ def emission_slots(diff, k_max: int):
                     (v < 0).astype(jnp.int32)))))
     return (jnp.where(valid, slot, 0).astype(jnp.int32),
             jnp.where(valid, bit, 0), valid)
+
+
+def emission_source(diff, k_max: int):
+    """Per (pixel, k) the packed-sv source of the k-th emission:
+    (word int32 [..., K], shift int32 [..., K]) — byte = (sv_words[word]
+    >> shift) & 0xFF.  First hits read the base words (word = slot//4,
+    shift = slot%4*8); repeat hit h >= 2 of slot 10/31 (j = h-1) reads
+    ext word 8 + (j-1)//2 at shift (j-1)%2*16 + (slot==31)*8."""
+    e = exponent(jnp.abs(diff))[..., None]
+    k = jnp.arange(k_max, dtype=jnp.int32)
+    k = jnp.broadcast_to(k, diff.shape + (k_max,))
+    slot, _, _ = emission_slots(diff, k_max)
+    # hit index within the pixel for the capped slots
+    h10 = jnp.where(k <= e, k - 9, e - 8)     # exp ones then terminator
+    h31 = k - e - 1                           # mantissa position
+    h = jnp.where(slot == 10, jnp.maximum(h10, 1),
+                  jnp.where(slot == 31, jnp.maximum(h31, 1), 1))
+    j = h - 1                                 # 0 = base, >=1 = ext pair j
+    word = jnp.where(j == 0, slot >> 2, 8 + (j - 1) // 2)
+    shift = jnp.where(j == 0, (slot & 3) * 8,
+                      ((j - 1) % 2) * 16 + jnp.where(slot == 31, 8, 0))
+    return word, shift
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +307,7 @@ GCAP = 4096          # max pixels per lane (sub-lane size for split groups)
 
 
 def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
-                tiles_cap: int):
+                tiles_cap: int, wide: bool = False):
     """Group-sort + lane/tile layout (group-domain formulation).
 
     row_local/diff: int32 (n_slices, npix) per-slice coding-order streams;
@@ -429,7 +467,12 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
     dest_b = (GCAP * (bk + (v >> 7)) + t2) * 128 + (v & 127)
     dest = jnp.where(is_sent, drop,
                      jnp.where((wfill & 1) == 1, dest_b, v + r * 128))
-    ch1 = (diff_s + 2048) | ((~is_sent).astype(i32) << 13)
+    # cell channel: biased diff + pixel-valid flag ("wide" = coding
+    # depths 11..16, 16-bit diff field)
+    if wide:
+        ch1 = (diff_s + 32768) | ((~is_sent).astype(i32) << 16)
+    else:
+        ch1 = (diff_s + 2048) | ((~is_sent).astype(i32) << 13)
     orig = jnp.where(is_sent, drop,
                      jnp.arange(S, dtype=i32)[:, None] * npix + idx_s)
 
@@ -484,7 +527,8 @@ def pack_sv_words(sv_perm):
 
 
 def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
-                    s0_blocks, packed_table, tiles_cap: int):
+                    s0_blocks, packed_table, tiles_cap: int,
+                    code_bits: int = 10):
     """Row-scan reference of the adapt kernel (CPU/dryrun path).
 
     ch1_cells: (CELLROWS, 128) int32 cell channel; s0_blocks:
@@ -503,6 +547,7 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
     """
     cellrows = ch1_cells.shape[0]
     i32 = jnp.int32
+    R = max(0, code_bits - 10)
 
     starts = jnp.full(cellrows, -1, i32)
     tidx = jnp.arange(tiles_cap, dtype=i32)
@@ -537,8 +582,12 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
         s = jnp.where(is_start, loaded, s)
         cur_tile = jnp.where(is_start, tile_here, cur_tile)
 
-        v = (row & 0xFFF) - 2048
-        valid_px = ((row >> 13) & 1) == 1
+        if code_bits > 10:
+            v = (row & 0xFFFF) - 32768
+            valid_px = ((row >> 16) & 1) == 1
+        else:
+            v = (row & 0xFFF) - 2048
+            valid_px = ((row >> 13) & 1) == 1
         valid, bit = slot_bit_grid(v)            # (128, 32) standard order
         valid = (valid & valid_px[:, None])[:, SLOT_AT_ROW].transpose(1, 0)
         bit = bit[:, SLOT_AT_ROW].transpose(1, 0)
@@ -546,7 +595,34 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
         idx9 = jnp.where(bit != 0, 256 + s, s)
         ns = lookup_packed(table, idx9)
         s = jnp.where(valid, ns, s)
-        return (s, cur_tile, carrybuf), pack_sv_words(sv)
+        out = pack_sv_words(sv)
+        if R > 0:
+            # repeat hits of slots 10/31 (e > 9): sub-step j handles hit
+            # j+1 of each; the pre-update sv pair packs 2 pairs per word
+            e = exponent(jnp.abs(v))              # (128,)
+            a = jnp.abs(v)
+            r18 = ROW_OF_SLOT[10]                 # permuted row of slot 10
+            pairs = []
+            for j in range(1, R + 1):
+                v10 = valid_px & (e >= 9 + j)
+                v31 = valid_px & (e >= 10 + j)
+                b10 = (e >= j + 10).astype(i32)
+                b31 = (a >> jnp.maximum(e - 1 - j, 0)) & 1
+                sv10 = jnp.where(v10, s[r18], 0)
+                sv31 = jnp.where(v31, s[31], 0)
+                pairs.append(sv10 | (sv31 << 8))
+                s = s.at[r18].set(jnp.where(
+                    v10, lookup_packed(table[:1], b10[None] * 256
+                                       + s[r18][None])[0], s[r18]))
+                s = s.at[31].set(jnp.where(
+                    v31, lookup_packed(table[:1], b31[None] * 256
+                                       + s[31][None])[0], s[31]))
+            if len(pairs) % 2:
+                pairs.append(jnp.zeros_like(pairs[0]))
+            ext = jnp.stack([pairs[2 * w] | (pairs[2 * w + 1] << 16)
+                             for w in range(len(pairs) // 2)])
+            out = jnp.concatenate([out, ext], axis=0)
+        return (s, cur_tile, carrybuf), out
 
     s_init = jnp.full((32, 128), 128, i32)
     carrybuf = jnp.zeros((tiles_cap, 32, 128), i32)
@@ -681,12 +757,11 @@ class DeviceFFV1Encoder:
         if p.ac == CODER_GOLOMB:
             raise NotImplementedError("device coder: range modes only")
         # RGB codes the RCT planes at depth bits+1 (lbd path,
-        # ffv1enc_template.c:193); the slot-grid expansion needs the
-        # CODING depth <= 10
+        # ffv1enc_template.c:193); depths 11..16 take the slot-repeat
+        # sub-step path (R = depth-10 extra masked steps per pixel)
         self.code_bits = max(p.bits, 8) + 1 if p.colorspace == 1 else p.bits
-        if self.code_bits > 10:
-            raise NotImplementedError("device coder: coding depth <= 10 "
-                                      "(no slot repeats per pixel)")
+        if self.code_bits > 16:
+            raise NotImplementedError("device coder: coding depth <= 16")
         if p.colorspace == 1 and p.use32bit:
             raise NotImplementedError("device coder: RGB <= 14 bpc")
         if p.initial_states is not None:
@@ -892,7 +967,8 @@ class DeviceFFV1Encoder:
         row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
 
         plan = layout_plan(row_local, diff, self.rows_per_slice,
-                           slots_cap, tiles_cap)
+                           slots_cap, tiles_cap,
+                           wide=self.code_bits > 10)
         # under a cap overflow this frame's result is garbage (the caller
         # detects via the size outputs and retries larger); keep the
         # kernel's DMAs in range regardless
@@ -920,8 +996,9 @@ class DeviceFFV1Encoder:
         i32 = jnp.int32
         drop = jnp.iinfo(i32).max
         scap = sortrows_cap
+        nw = n_sv_words(self.code_bits)
         words = [sv_words[:scap, j, :].reshape(scap * 128)
-                 for j in range(8)]
+                 for j in range(nw)]
         keys = ch2c[:scap].reshape(scap * 128)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
         words_n = [w[:n].reshape(n_slices, self.npix)
@@ -929,11 +1006,14 @@ class DeviceFFV1Encoder:
 
         # emission-order (sv, bit) grid per pixel (select chains — cheap)
         slot, bit, valid = emission_slots(diff, self.k_max)
-        wsel = slot >> 2
+        if self.code_bits > 10:
+            wsel, shf = emission_source(diff, self.k_max)
+        else:
+            wsel, shf = slot >> 2, (slot & 3) * 8
         sv_em = jnp.zeros_like(slot)
-        for j in range(8):
+        for j in range(nw):
             sv_em = jnp.where(wsel == j, words_n[j][..., None], sv_em)
-        sv_em = (sv_em >> ((slot & 3) * 8)) & 0xFF
+        sv_em = (sv_em >> shf) & 0xFF
 
         # compact to per-slice op streams with ONE packed channel
         # [delta:21 | valid:1 | bit:1 | sv:8] — a single-array log-shift
@@ -997,10 +1077,12 @@ class DeviceFFV1Encoder:
                 ch1c, plan["tile_caps"], plan["tile_bases"],
                 plan["tile_pred"], s0, jnp.asarray(self.table),
                 tiles_cap, cellrows_cap,
+                code_bits=self.code_bits,
                 interpret=jax.default_backend() != "tpu")
         return adapt_reference(ch1c, plan["tile_caps"], plan["tile_bases"],
                                plan["tile_pred"], s0,
-                               jnp.asarray(self.table), tiles_cap)
+                               jnp.asarray(self.table), tiles_cap,
+                               code_bits=self.code_bits)
 
     def _code_render(self, sv, bit, mode, steps, buf_cap):
         """Arithmetic coding + packet-byte rendering, fully on device.

@@ -9,24 +9,25 @@ from ffmpeg_ffv2_tpu.ffv1.codec_py import SliceState
 
 
 def ref_put_symbol_ops(v, bits):
-    """Slot/bit sequence of put_symbol_inline for one value (no states)."""
+    """Slot/bit sequence of put_symbol_inline for one value (no states),
+    incl. the e > 9 FFMIN slot caps (ffv1enc.c:203-230)."""
     ops = []
     if v:
         a = abs(v)
         e = a.bit_length() - 1
         ops.append((0, 0))
         for i in range(e):
-            ops.append((1 + i, 1))
-        ops.append((1 + e, 0))
+            ops.append((1 + min(i, 9), 1))
+        ops.append((1 + min(e, 9), 0))
         for i in range(e - 1, -1, -1):
-            ops.append((22 + i, (a >> i) & 1))
-        ops.append((11 + e, 1 if v < 0 else 0))
+            ops.append((22 + min(i, 9), (a >> i) & 1))
+        ops.append((11 + min(e, 10), 1 if v < 0 else 0))
     else:
         ops.append((0, 1))
     return ops
 
 
-@pytest.mark.parametrize("bits", [8, 9, 10])
+@pytest.mark.parametrize("bits", [8, 9, 10, 12, 16])
 def test_emission_slots_match_reference(bits):
     import jax.numpy as jnp
     half = 1 << (bits - 1)
@@ -161,6 +162,8 @@ def test_oracle_stream_matches_native_plan():
     ("gray", (48, 32), 1),
     ("yuv422p10", (32, 32), 1),
     ("bgr0", (48, 32), 1),              # RGB: RCT + line-interleaved stream
+    ("yuv444p16", (32, 24), 1),         # wide: slot 10/31 repeat sub-steps
+    ("gray16", (40, 24), 1),
 ])
 def test_device_encoder_byte_exact(pix, wh, coder):
     """Full XLA device pipeline == native packets, key + inter frames."""
@@ -188,17 +191,26 @@ def test_device_encoder_byte_exact(pix, wh, coder):
             f"({len(pkt_dev)} vs {len(pkt_nat)} bytes)"
 
 
-def test_adapt_pallas_interpret_matches_reference():
+@pytest.mark.parametrize("pix,wh", [
+    ("yuv420p", (64, 48)),
+    ("yuv444p16", (24, 16)),            # wide path: repeat sub-steps
+])
+def test_adapt_pallas_interpret_matches_reference(pix, wh):
     """Pallas kernel (interpret mode on CPU) == XLA reference walk."""
     from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
     rng = np.random.RandomState(5)
-    w, h = 64, 48
+    w, h = wh
     cfg = FFV1Config(level=3, coder=1, slices=4)
-    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=True)
-    nat_dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
-    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    dev = DeviceFFV1Encoder(w, h, pix, cfg, use_pallas=True)
+    nat_dev = DeviceFFV1Encoder(w, h, pix, cfg, use_pallas=False)
+    p = dev.p
+    mx = (1 << p.bits) - 1
+    shapes = [(h, w)]
+    if p.chroma_planes:
+        shapes += [(h >> p.chroma_v_shift, w >> p.chroma_h_shift)] * 2
     for t in range(3):
-        planes = [rng.randint(0, 256, s).astype(np.int32) for s in shapes]
+        planes = [rng.randint(0, mx + 1, s).astype(np.int32)
+                  for s in shapes]
         if t == 1:
             planes = [np.full(s, 42, np.int32) for s in shapes]
         a = dev.encode(planes, force_keyframe=(t == 0))
