@@ -1101,9 +1101,10 @@ class DeviceFFV1Encoder:
 
     def _code_render_impl(self, sv, bit, mode, steps, buf_cap):
         S = sv.shape[0]
-        svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, 128 - S)))
-        btT = jnp.pad(bit[:, :steps].T, ((0, 0), (0, 128 - S)))
-        mdT = jnp.pad(mode[:, :steps].T, ((0, 0), (0, 128 - S)))
+        lanes = -(-S // 128) * 128
+        svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, lanes - S)))
+        btT = jnp.pad(bit[:, :steps].T, ((0, 0), (0, lanes - S)))
+        mdT = jnp.pad(mode[:, :steps].T, ((0, 0), (0, lanes - S)))
         if jax.default_backend() == "tpu":
             from .pallas_coder import rac_pallas_lanes
             f, c, v = rac_pallas_lanes(svT, btT, mdT)
@@ -1180,6 +1181,116 @@ class DeviceFFV1Encoder:
             chunks.append(data)
         self.picture_number += 1
         return b"".join(chunks)
+
+    # -- all-intra batch encode --------------------------------------------
+    #
+    # Keyframes reset every slice's context state (ffv1.c:182), so intra
+    # frames are independent coding units: a batch of B frames becomes
+    # B * slice_count slices in ONE fused device program — the device
+    # analogue of frame-parallel encoding (pthread_frame.c), and extra
+    # lanes for the arithmetic coder.
+
+    def _batch_state(self, B: int):
+        if not hasattr(self, "_bstate"):
+            self._bstate = {}
+        if B not in self._bstate:
+            p = self.p
+            n = B * p.slice_count * self.npix
+            chains = B * self.n_chain_rows
+            n_buckets = self.npix // GCAP + 2
+            tiles_max = (n // GCAP + 2 * n_buckets + chains // 128 + 8)
+            cellrows_max = (n // 128 + (n_buckets + 2) * GCAP
+                            + tiles_max + 128)
+            self._bstate[B] = dict(
+                tiles=min(tiles_max, n // GCAP + chains // 128 + 72),
+                cellrows=min(cellrows_max,
+                             n // 128 * 5 // 4 + 2 * GCAP + 256),
+                sort=min(cellrows_max, n // 128 * 9 // 8 + 1024),
+                tiles_max=tiles_max, cellrows_max=cellrows_max,
+                canon=jnp.full((chains + 1, 32), 128, jnp.uint8))
+        return self._bstate[B]
+
+    def _pipeline_batch(self, frames, canonical, caps):
+        if jax.default_backend() == "tpu":
+            return self._pipeline_batch_jit(frames, canonical, caps)
+        return self._pipeline_batch_impl(frames, canonical, caps)
+
+    @functools.partial(jax.jit, static_argnames=("self", "caps"))
+    def _pipeline_batch_jit(self, frames, canonical, caps):
+        return self._pipeline_batch_impl(frames, canonical, caps)
+
+    def _pipeline_batch_impl(self, frames, canonical, caps):
+        parts = [self._phase_a(pls) for pls in frames]
+        ctx = jnp.concatenate([c for c, _ in parts], axis=0)
+        diff = jnp.concatenate([d for _, d in parts], axis=0)
+        svp, btp, hlen = self.prefix[True]
+        B = len(frames)
+        return self.ops_from_streams(
+            ctx, diff, canonical, jnp.tile(svp, (B, 1)),
+            jnp.tile(btp, (B, 1)), jnp.tile(hlen, B), True, caps)
+
+    def encode_batch(self, frames_list) -> list:
+        """Encode B intra (key) frames in one fused device program;
+        returns their packets.  Does not touch the session's inter-frame
+        context state."""
+        p = self.p
+        B = len(frames_list)
+        S = p.slice_count
+        dev = [[jnp.asarray(np.asarray(pl), jnp.int32) for pl in f]
+               for f in frames_list]
+        st = self._batch_state(B)
+        for _ in range(8):
+            caps = (st["tiles"], st["cellrows"], self.op_cap, st["sort"])
+            sv, bit, mode, n_ops, _, sizes = self._pipeline_batch(
+                dev, st["canon"], caps)
+            rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
+            if (rows + 1024 <= st["cellrows"] and rows <= st["sort"]
+                    and tiles <= st["tiles"]
+                    and slots <= st["tiles"] * 128
+                    and opmax <= self.op_cap):
+                break
+            st["tiles"] = min(st["tiles_max"],
+                              max(tiles + 64, st["tiles"] * 2))
+            st["cellrows"] = min(st["cellrows_max"],
+                                 max(rows + 2048, st["cellrows"] * 2))
+            st["sort"] = min(st["cellrows"],
+                             max(rows + 512, st["sort"] * 2))
+            if opmax > self.op_cap:
+                self.op_cap = min(
+                    self.op_cap_max,
+                    -(-max(opmax + 512, self.op_cap * 2) // 512) * 512)
+        else:
+            raise RuntimeError("device layout exceeded worst-case caps")
+        steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
+        steps = max(512, min(steps, int(sv.shape[1])))
+        for _ in range(6):
+            by, ln = self._code_render(sv, bit, mode, steps,
+                                       self.render_cap)
+            ln_h = np.asarray(ln)
+            if int(ln_h.max()) <= self.render_cap:
+                break
+            self.render_cap = min(
+                self.render_cap_max,
+                -(-max(int(ln_h.max()) + 4096,
+                       self.render_cap * 2) // 4096) * 4096)
+        else:
+            raise RuntimeError("render buffer exceeded worst-case cap")
+        by_h = np.asarray(by)
+        pkts = []
+        for b in range(B):
+            chunks = []
+            for si in range(S):
+                row = b * S + si
+                data = by_h[row, :int(ln_h[row])].tobytes()
+                if si > 0 or p.version > 2:
+                    assert len(data) < (1 << 24)
+                    data += len(data).to_bytes(3, "big")
+                    if p.ec:
+                        data += b"\x00"
+                        data += crc32_trailer(data)
+                chunks.append(data)
+            pkts.append(b"".join(chunks))
+        return pkts
 
 
 def shift_expand(channels, valid, dest, out_len: int):

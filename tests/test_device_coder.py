@@ -218,6 +218,30 @@ def test_adapt_pallas_interpret_matches_reference(pix, wh):
         assert a == b, f"frame {t}"
 
 
+def test_device_encoder_batch_intra():
+    """encode_batch: B intra frames in one fused program == per-frame
+    native packets (frame-parallel analogue, all-intra)."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(3)
+    w, h = 64, 48
+    cfg = FFV1Config(level=3, coder=1, slices=4)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
+    nat = NativeFFV1Codec(p)
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    frames = [[rng.randint(0, 256, s).astype(np.int32) for s in shapes]
+              for _ in range(3)]
+    frames[1] = [np.full(s, 77, np.int32) for s in shapes]
+    pkts = dev.encode_batch(frames)
+    for t, f in enumerate(frames):
+        ref = nat.encode(f, True)
+        assert pkts[t] == ref, f"frame {t} mismatch"
+    # batch must not disturb the sequential session state
+    a = dev.encode(frames[0], force_keyframe=True)
+    assert a == nat.encode(frames[0], True)
+
+
 def test_device_encoder_mega_groups_small_gcap(monkeypatch):
     """Exercise split groups / bucket carry on CPU via a tiny GCAP."""
     import ffmpeg_ffv2_tpu.ffv1.device_coder as dcmod
