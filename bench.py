@@ -139,9 +139,9 @@ def main():
         def frame_step(t, canon):
             sv, bit, mode, n_ops, canon, sizes = dev._pipeline(
                 planes_dev[t], canon, gop(t), caps)
-            by, ln = dev._code_render(sv, bit, mode, ev_use, rcap)
+            by, ln, fcm = dev._code_render(sv, bit, mode, ev_use, rcap)
             probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
-                     + jnp.sum(by[:, :128].astype(jnp.int32)))
+                     + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
             return canon, probe, jnp.max(n_ops), jnp.max(ln)
 
         canon, probe, nmax, lmax = frame_step(0, canon)  # compile both keys
@@ -175,9 +175,9 @@ def main():
         def bstep(fr):
             sv, bit, mode, n_ops, _, sizes = dev._pipeline_batch(
                 fr, st["canon"], bcaps)
-            by, ln = dev._code_render(sv, bit, mode, ev_use,
-                                      dev.render_cap)
-            return (jnp.sum(ln) + jnp.sum(sizes)
+            by, ln, fcm = dev._code_render(sv, bit, mode, ev_use,
+                                           dev.render_cap)
+            return (jnp.sum(ln) + jnp.sum(sizes) + fcm
                     + jnp.sum(by[:, :128].astype(jnp.int32)),
                     jnp.max(n_ops), jnp.max(ln))
 

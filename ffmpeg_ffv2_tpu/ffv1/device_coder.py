@@ -662,18 +662,20 @@ def writeback_canonical(plan, canonical, end_states, tiles_cap: int):
 # ---------------------------------------------------------------------------
 
 
-def shift_compact_packed(packed, out_len: int):
+def shift_compact_packed(packed, out_len: int, data_bits: int = 9):
     """Stable left-compaction of ONE packed int32 channel along axis -1.
 
-    Layout: bits [31:10] = move distance delta (monotone over valid
-    elements, delta <= index, so the log-shift passes never collide),
-    bit 9 = valid, bit 8 = coded bit, bits [7:0] = state value; invalid
-    slots are all-zero.  Same algorithm as shift_compact, but the single
-    fused array keeps the passes at HBM-roofline cost (measured ~35 ms
-    for the 53M-slot emission grid vs ~162 ms multi-array).  Requires
-    the source length < 2^21 (delta field width)."""
+    Layout: bits [31:data_bits+1] = move distance delta (monotone over
+    valid elements, delta <= index, so the log-shift passes never
+    collide), bit data_bits = valid, bits [data_bits-1:0] = payload;
+    invalid slots are all-zero.  Same algorithm as shift_compact, but
+    the single fused array keeps the passes at HBM-roofline cost
+    (measured ~35 ms for the 53M-slot emission grid vs ~162 ms
+    multi-array).  Requires the source length < 2^(31-data_bits-1)."""
     m = packed.shape[-1]
-    assert m < (1 << 21), "delta field overflow; use shift_compact"
+    vb = data_bits
+    db = vb + 1
+    assert m < (1 << (31 - vb)), "delta field overflow; use shift_compact"
     nbits = max(1, int(m - 1).bit_length())
     for b in range(nbits):
         step = 1 << b
@@ -681,9 +683,9 @@ def shift_compact_packed(packed, out_len: int):
             [packed[..., step:],
              jnp.zeros(packed.shape[:-1] + (step,), packed.dtype)],
             axis=-1)
-        move_in = ((sh >> 9) & 1 & (sh >> (10 + b))) == 1
-        move_out = ((packed >> 9) & 1 & (packed >> (10 + b))) == 1
-        packed = jnp.where(move_in, sh - (step << 10),
+        move_in = ((sh >> vb) & 1 & (sh >> (db + b))) == 1
+        move_out = ((packed >> vb) & 1 & (packed >> (db + b))) == 1
+        packed = jnp.where(move_in, sh - (step << db),
                            jnp.where(move_out, 0, packed))
     if m >= out_len:
         return packed[..., :out_len]
@@ -1084,22 +1086,29 @@ class DeviceFFV1Encoder:
                                jnp.asarray(self.table), tiles_cap,
                                code_bits=self.code_bits)
 
-    def _code_render(self, sv, bit, mode, steps, buf_cap):
+    def _code_render(self, sv, bit, mode, steps, buf_cap, fast=True):
         """Arithmetic coding + packet-byte rendering, fully on device.
 
         sv/bit/mode: (S, op_cap) op streams from the pipeline.  Returns
-        (bytes uint8 (S, buf_cap), true lengths int32 (S,)) — the only
-        data the host ever fetches."""
+        (bytes uint8 (S, buf_cap), true lengths int32 (S,), fc_max) —
+        the only data the host ever fetches.  fast uses the packed
+        staged-event compaction; the caller re-renders with fast=False
+        if fc_max > 1023 (fill-run field overflow, see
+        render_bytes_fast)."""
         if jax.default_backend() == "tpu":
-            return self._code_render_jit(sv, bit, mode, steps, buf_cap)
-        return self._code_render_impl(sv, bit, mode, steps, buf_cap)
+            return self._code_render_jit(sv, bit, mode, steps, buf_cap,
+                                         fast)
+        return self._code_render_impl(sv, bit, mode, steps, buf_cap,
+                                      fast)
 
     @functools.partial(jax.jit,
-                       static_argnames=("self", "steps", "buf_cap"))
-    def _code_render_jit(self, sv, bit, mode, steps, buf_cap):
-        return self._code_render_impl(sv, bit, mode, steps, buf_cap)
+                       static_argnames=("self", "steps", "buf_cap",
+                                        "fast"))
+    def _code_render_jit(self, sv, bit, mode, steps, buf_cap, fast):
+        return self._code_render_impl(sv, bit, mode, steps, buf_cap,
+                                      fast)
 
-    def _code_render_impl(self, sv, bit, mode, steps, buf_cap):
+    def _code_render_impl(self, sv, bit, mode, steps, buf_cap, fast):
         S = sv.shape[0]
         lanes = -(-S // 128) * 128
         svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, lanes - S)))
@@ -1111,7 +1120,30 @@ class DeviceFFV1Encoder:
         else:
             from .tpu_coder import rac_scan_lanes
             f, c, v = rac_scan_lanes(svT, btT, mdT)
-        return render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+        if fast and steps < (1 << 20):
+            return render_bytes_fast(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+        by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+        return by, ln, jnp.zeros((), jnp.int32)
+
+    def _render_retry(self, sv, bit, mode, steps):
+        """code+render with buffer-growth and fcount-overflow retries;
+        returns (bytes device array, host lengths)."""
+        for _ in range(6):
+            by, ln, fcm = self._code_render(sv, bit, mode, steps,
+                                            self.render_cap)
+            ln_h = np.asarray(ln)
+            if int(np.asarray(fcm)) > 1023:
+                by, ln, _ = self._code_render(sv, bit, mode, steps,
+                                              self.render_cap,
+                                              fast=False)
+                ln_h = np.asarray(ln)
+            if int(ln_h.max()) <= self.render_cap:
+                return by, ln_h
+            self.render_cap = min(
+                self.render_cap_max,
+                -(-max(int(ln_h.max()) + 4096,
+                       self.render_cap * 2) // 4096) * 4096)
+        raise RuntimeError("render buffer exceeded worst-case cap")
 
     # -- public API -----------------------------------------------------------
 
@@ -1156,18 +1188,7 @@ class DeviceFFV1Encoder:
         # jit reuse); the host fetches only packed bytes + lengths
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
         steps = max(512, min(steps, int(sv.shape[1])))
-        for _ in range(6):
-            by, ln = self._code_render(sv, bit, mode, steps,
-                                       self.render_cap)
-            ln_h = np.asarray(ln)
-            if int(ln_h.max()) <= self.render_cap:
-                break
-            self.render_cap = min(
-                self.render_cap_max,
-                -(-max(int(ln_h.max()) + 4096,
-                       self.render_cap * 2) // 4096) * 4096)
-        else:
-            raise RuntimeError("render buffer exceeded worst-case cap")
+        by, ln_h = self._render_retry(sv, bit, mode, steps)
         by_h = np.asarray(by)
         chunks = []
         for si in range(p.slice_count):
@@ -1263,18 +1284,7 @@ class DeviceFFV1Encoder:
             raise RuntimeError("device layout exceeded worst-case caps")
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
         steps = max(512, min(steps, int(sv.shape[1])))
-        for _ in range(6):
-            by, ln = self._code_render(sv, bit, mode, steps,
-                                       self.render_cap)
-            ln_h = np.asarray(ln)
-            if int(ln_h.max()) <= self.render_cap:
-                break
-            self.render_cap = min(
-                self.render_cap_max,
-                -(-max(int(ln_h.max()) + 4096,
-                       self.render_cap * 2) // 4096) * 4096)
-        else:
-            raise RuntimeError("render buffer exceeded worst-case cap")
+        by, ln_h = self._render_retry(sv, bit, mode, steps)
         by_h = np.asarray(by)
         pkts = []
         for b in range(B):
@@ -1334,6 +1344,51 @@ def shift_expand(channels, valid, dest, out_len: int):
                           jnp.where(move, 0, delta))
         val = jnp.where(move_in, True, val & ~move)
     return arrs, val
+
+
+def render_bytes_fast(first, fcount, fval, buf_cap: int):
+    """Packed-channel render_bytes: both staged-event compactions ride
+    shift_compact_packed (one int32 array each) instead of the 5-array
+    log-shift — ~10x less traffic on the steps-domain pass, which
+    dominated the device encode tail.
+
+    Returns (bytes, lengths, fc_max).  Valid only while every fill run
+    is < 1024 bytes (10-bit fcount field) and steps < 2^20 (delta
+    field): the caller checks fc_max and re-renders via render_bytes on
+    overflow (loud; fill runs are carry chains, essentially never that
+    long).  The event byte offsets are reconstructed after compaction
+    as rank + exclusive-cumsum(fcount), so they never ride the shift."""
+    i32 = jnp.int32
+    m = first.shape[-1]
+    emit = first >= 0
+    nbytes = jnp.where(emit, 1 + fcount, 0)
+    endo = jnp.cumsum(nbytes, axis=-1)
+    total = endo[..., -1]
+    rank = jnp.cumsum(emit.astype(i32), axis=-1) - 1
+    idx = jnp.arange(m, dtype=i32)
+    delta = jnp.where(emit, idx - rank, 0)
+    fv1 = fval & 1                       # fval is 0x00 or 0xFF
+    pA = jnp.where(emit, (delta << 10) | (1 << 9) | (fv1 << 8)
+                   | (first & 0xFF), 0)
+    pB = jnp.where(emit, (delta << 11) | (1 << 10)
+                   | jnp.minimum(fcount, 1023), 0)
+    fcmax = jnp.max(jnp.where(emit, fcount, 0))
+    pA = shift_compact_packed(pA, buf_cap, data_bits=9)
+    pB = shift_compact_packed(pB, buf_cap, data_bits=10)
+    vmask = ((pA >> 9) & 1) != 0
+    fst_d = pA & 0xFF
+    fvl_d = ((pA >> 8) & 1) * 0xFF
+    fc_d = pB & 0x3FF
+    off_d = (jnp.arange(buf_cap, dtype=i32)
+             + jnp.cumsum(fc_d, axis=-1) - fc_d)
+    (fst_p, fvl_p), at_event = shift_expand(
+        [fst_d + 1, fvl_d + 1], vmask, off_d, buf_cap)
+    pos = jnp.arange(buf_cap, dtype=i32)[None, :]
+    enc = jnp.where(at_event, pos * 256 + (fvl_p - 1), -1)
+    ffill = jax.lax.cummax(enc, axis=enc.ndim - 1)
+    byte = jnp.where(at_event, fst_p - 1, ffill % 256)
+    byte = jnp.where(pos < total[..., None], byte, 0)
+    return byte.astype(jnp.uint8), total, fcmax
 
 
 def render_bytes(first, fcount, fval, buf_cap: int):

@@ -291,6 +291,31 @@ def test_render_bytes_matches_compact_lane():
         assert bytes(b[l, :ln[l]]) == ref, f"lane {l}"
 
 
+def test_render_bytes_fast_matches_slow():
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import (render_bytes,
+                                                   render_bytes_fast)
+    from ffmpeg_ffv2_tpu.ffv1.tpu_coder import compact_lane
+    rng = np.random.RandomState(4)
+    steps, lanes = 513, 6
+    first = np.where(rng.rand(lanes, steps) < 0.25,
+                     rng.randint(0, 256, (lanes, steps)), -1)
+    fcount = np.where(first >= 0, rng.randint(0, 5, (lanes, steps)), 0)
+    first[1, 7] = 0xAB
+    fcount[1, 7] = 1023        # max representable fill run
+    fval = np.where(rng.rand(lanes, steps) < 0.5, 0xFF, 0x00)
+    args = (jnp.asarray(first, jnp.int32), jnp.asarray(fcount, jnp.int32),
+            jnp.asarray(fval, jnp.int32), 4096)
+    bf, lf, fcm = render_bytes_fast(*args)
+    bs, ls = render_bytes(*args)
+    assert int(fcm) == 1023
+    assert np.array_equal(np.asarray(lf), np.asarray(ls))
+    assert np.array_equal(np.asarray(bf), np.asarray(bs))
+    for l in range(lanes):
+        ref = compact_lane(first[l], fcount[l], fval[l])
+        assert bytes(np.asarray(bf)[l, :int(lf[l])]) == ref
+
+
 def test_shift_compact_expand_randomized():
     """Randomized property test for the log-shift move primitives."""
     import jax.numpy as jnp
