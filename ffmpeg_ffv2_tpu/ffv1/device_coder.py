@@ -1321,15 +1321,10 @@ class DeviceFFV1Encoder:
         return self._bstate[B]
 
     def _pipeline_batch(self, frames, canonical, caps):
-        if jax.default_backend() == "tpu":
-            return self._pipeline_batch_jit(frames, canonical, caps)
-        return self._pipeline_batch_impl(frames, canonical, caps)
-
-    @functools.partial(jax.jit, static_argnames=("self", "caps"))
-    def _pipeline_batch_jit(self, frames, canonical, caps):
-        return self._pipeline_batch_impl(frames, canonical, caps)
-
-    def _pipeline_batch_impl(self, frames, canonical, caps):
+        # NOT wrapped in an outer jit: ops_from_streams dispatches its
+        # stages as separate jitted programs (a monolithic wrapper would
+        # inline them back into one graph — whose XLA compile at batch
+        # shapes ran >90 min on this rig before being killed, twice)
         parts = [self._phase_a(pls) for pls in frames]
         ctx = jnp.concatenate([c for c, _ in parts], axis=0)
         diff = jnp.concatenate([d for _, d in parts], axis=0)
