@@ -142,22 +142,26 @@ def main():
             by, ln, fcm = dev._code_render(sv, bit, mode, ev_use, rcap)
             probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
                      + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
-            return canon, probe, jnp.max(n_ops), jnp.max(ln)
+            return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm
 
-        canon, probe, nmax, lmax = frame_step(0, canon)  # compile both keys
-        canon, probe, nmax, lmax = frame_step(1, canon)
+        canon, probe, nmax, lmax, fcm = frame_step(0, canon)  # compile keys
+        canon, probe, nmax, lmax, fcm = frame_step(1, canon)
         float(probe)
         t0 = time.perf_counter()
         probes = []
         for t in range(n_frames):
-            canon, probe, nmax, lmax = frame_step(t, canon)
-            probes.append((probe, nmax, lmax))
-        tot = float(sum(pr for pr, _, _ in probes))       # one sync at end
+            canon, probe, nmax, lmax, fcm = frame_step(t, canon)
+            probes.append((probe, nmax, lmax, fcm))
+        tot = float(sum(pr for pr, _, _, _ in probes))    # one sync at end
         dt = time.perf_counter() - t0
-        assert all(float(nm) <= ev_use for _, nm, _ in probes), \
+        assert all(float(nm) <= ev_use for _, nm, _, _ in probes), \
             "device pipeline op-stream overflow (raise EV bound)"
-        assert all(float(lm) <= rcap for _, _, lm in probes), \
+        assert all(float(lm) <= rcap for _, _, lm, _ in probes), \
             "device render buffer overflow (raise render_cap)"
+        # fast-render validity: encode() re-renders when a fill run
+        # overflows the 10-bit field; the bench must not time garbage
+        assert all(float(fc) <= 1023 for _, _, _, fc in probes), \
+            "fast-render fill-run overflow; bench path invalid"
         assert np.isfinite(tot)
         mp = n_frames * w * h / dt / 1e6
         emit("ffv1_1080p_encode_tpu_device", mp)

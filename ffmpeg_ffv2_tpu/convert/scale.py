@@ -8,10 +8,11 @@ FFV1 coding (tests/fate/vcodec.mak:173-186).  Verified byte-identical to
 * chroma upsampling under "neighbor" replicates the top-left sample of
   each 2x2/2x1 block.
 
-The YUV->RGB conversions (bgr0/rgb48 variants) use swscale's table-driven
-yuv2rgb path; reproducing those tables bit-exactly is tracked as follow-up
-work — the codec-level parity for RGB content is covered by feeding
-reference-converted input (tests/test_fate_ffv1.py).
+The YUV<->RGB conversions (bgr0/rgb48 variants) live in
+``convert/yuv_rgb.py``: the table-driven yuv2rgb path, the rgb->yuv
+matrices with the ordered 8x8 dither, and the planar-RGB neighbor-pick
+chroma path — byte-exact vs the reference scaler and used end-to-end by
+the RGB FATE tests (tests/test_fate_ffv1.py, tests/test_convert_parity.py).
 """
 
 from __future__ import annotations

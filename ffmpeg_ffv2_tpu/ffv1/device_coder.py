@@ -460,9 +460,12 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
 
     sb = r // GCAP
     t2 = r - sb * GCAP
-    bk = jnp.zeros_like(sb)
-    for k in range(1, nsb_cap):          # tiny static unroll, fused
-        bk = jnp.where(sb == k, base_k[k], bk)
+    if nsb_cap <= 48:                    # tiny static unroll, fused
+        bk = jnp.zeros_like(sb)
+        for k in range(1, nsb_cap):
+            bk = jnp.where(sb == k, base_k[k], bk)
+    else:                                # few-slice frames: one gather
+        bk = jnp.take(base_k, jnp.clip(sb, 0, nsb_cap - 1))
     v = wfill >> 1
     dest_b = (GCAP * (bk + (v >> 7)) + t2) * 128 + (v & 127)
     dest = jnp.where(is_sent, drop,
@@ -675,7 +678,10 @@ def shift_compact_packed(packed, out_len: int, data_bits: int = 9):
     m = packed.shape[-1]
     vb = data_bits
     db = vb + 1
-    assert m < (1 << (31 - vb)), "delta field overflow; use shift_compact"
+    # the final log-shift pass moves by up to 2^(nbits-1) <= m, so the
+    # shifted delta field (starting at bit db) must keep step<<db < 2^31
+    assert m < (1 << (31 - vb - 1)), \
+        "delta field overflow; use shift_compact"
     nbits = max(1, int(m - 1).bit_length())
     for b in range(nbits):
         step = 1 << b
