@@ -1189,21 +1189,25 @@ class DeviceFFV1Encoder:
         the only data the host ever fetches.  fast uses the packed
         staged-event compaction; the caller re-renders with fast=False
         if fc_max > 1023 (fill-run field overflow, see
-        render_bytes_fast)."""
+        render_bytes_fast).
+
+        On TPU the coder and the render run as SEPARATE jitted
+        dispatches: one fused program measured 85.6 ms where the two
+        stages alone are 9.6 + 6.9 (XLA interleaves the pallas coder
+        with the render's log-shift passes); dispatches queue
+        asynchronously so the split costs nothing."""
         if jax.default_backend() == "tpu":
-            return self._code_render_jit(sv, bit, mode, steps, buf_cap,
-                                         fast)
+            f, c, v = self._coder_jit(sv, bit, mode, steps)
+            return self._render_jit(f, c, v, int(sv.shape[0]), steps,
+                                    buf_cap, fast)
         return self._code_render_impl(sv, bit, mode, steps, buf_cap,
                                       fast)
 
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "steps", "buf_cap",
-                                        "fast"))
-    def _code_render_jit(self, sv, bit, mode, steps, buf_cap, fast):
-        return self._code_render_impl(sv, bit, mode, steps, buf_cap,
-                                      fast)
+    @functools.partial(jax.jit, static_argnames=("self", "steps"))
+    def _coder_jit(self, sv, bit, mode, steps):
+        return self._coder_impl(sv, bit, mode, steps)
 
-    def _code_render_impl(self, sv, bit, mode, steps, buf_cap, fast):
+    def _coder_impl(self, sv, bit, mode, steps):
         S = sv.shape[0]
         lanes = -(-S // 128) * 128
         svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, lanes - S)))
@@ -1211,10 +1215,23 @@ class DeviceFFV1Encoder:
         mdT = jnp.pad(mode[:, :steps].T, ((0, 0), (0, lanes - S)))
         if jax.default_backend() == "tpu":
             from .pallas_coder import rac_pallas_lanes
-            f, c, v = rac_pallas_lanes(svT, btT, mdT)
-        else:
-            from .tpu_coder import rac_scan_lanes
-            f, c, v = rac_scan_lanes(svT, btT, mdT)
+            return rac_pallas_lanes(svT, btT, mdT)
+        from .tpu_coder import rac_scan_lanes
+        return rac_scan_lanes(svT, btT, mdT)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "S", "steps", "buf_cap",
+                                        "fast"))
+    def _render_jit(self, f, c, v, S, steps, buf_cap, fast):
+        # f/c/v are (steps, lanes); true slice rows are the leading S
+        if fast and steps < (1 << 20):
+            return render_bytes_fast(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+        by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
+        return by, ln, jnp.zeros((), jnp.int32)
+
+    def _code_render_impl(self, sv, bit, mode, steps, buf_cap, fast):
+        S = sv.shape[0]
+        f, c, v = self._coder_impl(sv, bit, mode, steps)
         if fast and steps < (1 << 20):
             return render_bytes_fast(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
