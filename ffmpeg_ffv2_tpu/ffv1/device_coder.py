@@ -864,11 +864,13 @@ class DeviceFFV1Encoder:
             self.prefix[key] = (jnp.asarray(svp), jnp.asarray(btp),
                                 jnp.asarray(hlen))
         # adaptive per-slice op-stream capacity (like tiles/cellrows):
-        # start at a content-typical ~4 ops/pixel, grow on overflow
+        # start at a content-typical ~4 ops/pixel, grow on overflow.
+        # 2048-multiples: the expand kernel's grid-chunk granularity
         hmax = max(int(self.prefix[k][0].shape[1]) for k in (True, False))
-        self.op_cap_max = self.npix * self.k_max + hmax + 8
+        self.op_cap_max = -(-(self.npix * self.k_max + hmax + 8)
+                            // 2048) * 2048
         self.op_cap = min(self.op_cap_max,
-                          -(-(self.npix * 4 + hmax + 1024) // 512) * 512)
+                          -(-(self.npix * 4 + hmax + 1024) // 2048) * 2048)
         # per-slice rendered-packet capacity (adaptive, like op_cap):
         # each rac op emits at most one staged byte (+ run fills), so
         # op_cap_max + slack bounds any slice; start at ~1 byte/pixel
@@ -934,20 +936,20 @@ class DeviceFFV1Encoder:
 
     def ops_from_streams(self, ctx, diff, canonical, svp, btp, hlen,
                          keyframe: bool, caps=None):
-        """Streams -> per-slice (sv, bit, mode) op matrices + op counts.
+        """Streams -> per-slice packed op words + op counts.
 
-        Shard-friendly: n_slices is taken from ctx.shape (the multichip
-        dryrun calls this inside shard_map on each device's slice subset;
-        chain rows, the canonical state table and the layout are all local
-        to the shard).
+        Returns (opw (S, op_cap) int32 [mode:2|bit:1|sv:8], n_ops (S,),
+        canonical, sizes).  Shard-friendly: n_slices is taken from
+        ctx.shape (the multichip dryrun calls this inside shard_map on
+        each device's slice subset; chain rows, the canonical state table
+        and the layout are all local to the shard).
 
         On TPU the stages run as SEPARATE jitted dispatches (front /
-        unsort / emit / pack / compact / overlay): measured, XLA fuses
-        the monolithic graph ~2.5x slower than the same stages compiled
-        at these boundaries (287 ms vs ~110 ms for the post-adapt half
-        at 1080p/30), and dispatches queue asynchronously so the extra
-        launches cost nothing.  On CPU (tests, dryrun) everything runs
-        eagerly in the same order."""
+        unsort / expand): measured, XLA fuses the monolithic graph ~2.5x
+        slower than the same stages compiled at these boundaries, and
+        dispatches queue asynchronously so the extra launches cost
+        nothing.  On CPU (tests, dryrun) everything runs eagerly in the
+        same order."""
         n_slices = ctx.shape[0]
         n = n_slices * self.npix
         if caps is None:
@@ -956,7 +958,8 @@ class DeviceFFV1Encoder:
                          + (n_slices * self.rows_per_slice) // 128 + 8)
             cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
                             + tiles_cap + 128)
-            op_cap = self.npix * self.k_max + int(svp.shape[1]) + 8
+            op_cap = -(-(self.npix * self.k_max + int(svp.shape[1]) + 8)
+                       // 2048) * 2048
             sortrows_cap = cellrows_cap
         elif len(caps) == 3:
             tiles_cap, cellrows_cap, op_cap = caps
@@ -968,35 +971,9 @@ class DeviceFFV1Encoder:
         sv_words, ch2c, canonical, psizes = self._s_front(
             ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap)
         words_n = self._s_unsort(sv_words, ch2c, n_slices, sortrows_cap)
-        sv_em, bit, valid = self._s_emit(words_n, diff)
-        hpad = int(svp.shape[1])
-        m = hpad + self.npix * self.k_max
-        if m < (1 << 21):
-            packed, total = self._s_pack(sv_em, bit, valid, diff, hlen,
-                                         hpad)
-            packed = self._s_compact(packed, op_cap)
-            sv_st, bit_st, mode, n_ops, omax = self._s_overlay(
-                packed, total, svp, btp, hlen, op_cap)
-        else:                  # delta field too narrow: multi-array path
-            i32 = jnp.int32
-            counts = event_count(diff)
-            koff = jnp.cumsum(counts, axis=1)
-            total = hlen + koff[:, -1]
-            off = (hlen[:, None, None] + (koff - counts)[..., None]
-                   + jnp.arange(self.k_max, dtype=i32)[None, None, :])
-
-            def lpad(a, fill=0):
-                return jnp.concatenate(
-                    [jnp.full((n_slices, hpad), fill, a.dtype),
-                     a.reshape(n_slices, -1)], axis=1)
-
-            (sv_st, bit_st), valid_c = shift_compact(
-                [lpad(sv_em), lpad(bit)], lpad(valid, False),
-                lpad(off), op_cap)
-            sv_st, bit_st, mode, n_ops, omax = self._overlay_arrays(
-                sv_st, bit_st, valid_c, total, svp, btp, hlen, op_cap)
-        sizes = jnp.concatenate([psizes, omax[None]])
-        return sv_st, bit_st, mode, n_ops, canonical, sizes
+        opw, n_ops = self._s_expand(words_n, diff, svp, btp, hlen, op_cap)
+        sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None]])
+        return opw, n_ops, canonical, sizes
 
     # -- pipeline stages ----------------------------------------------------
 
@@ -1069,103 +1046,33 @@ class DeviceFFV1Encoder:
         return tuple(w[:n].reshape(n_slices, self.npix)
                      for w in sorted_ops[1:])
 
-    def _s_emit(self, words_n, diff):
-        return self._disp(self._s_emit_jit, self._s_emit_impl,
-                          words_n, diff)
-
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _s_emit_jit(self, words_n, diff):
-        return self._s_emit_impl(words_n, diff)
-
-    def _s_emit_impl(self, words_n, diff):
-        # emission-order (sv, bit) grid per pixel (select chains)
-        slot, bit, valid = emission_slots(diff, self.k_max)
-        if self.code_bits > 10:
-            wsel, shf = emission_source(diff, self.k_max)
-        else:
-            wsel, shf = slot >> 2, (slot & 3) * 8
-        sv_em = jnp.zeros_like(slot)
-        for j in range(len(words_n)):
-            sv_em = jnp.where(wsel == j, words_n[j][..., None], sv_em)
-        sv_em = (sv_em >> shf) & 0xFF
-        return sv_em, bit, valid
-
-    def _s_pack(self, sv_em, bit, valid, diff, hlen, hpad):
-        return self._disp(self._s_pack_jit, self._s_pack_impl,
-                          sv_em, bit, valid, diff, hlen, hpad)
-
-    @functools.partial(jax.jit, static_argnames=("self", "hpad"))
-    def _s_pack_jit(self, sv_em, bit, valid, diff, hlen, hpad):
-        return self._s_pack_impl(sv_em, bit, valid, diff, hlen, hpad)
-
-    def _s_pack_impl(self, sv_em, bit, valid, diff, hlen, hpad):
-        # ONE packed channel [delta:21 | valid:1 | bit:1 | sv:8]
-        i32 = jnp.int32
-        n_slices = diff.shape[0]
-        counts = event_count(diff)
-        koff = jnp.cumsum(counts, axis=1)
-        total = hlen + koff[:, -1]                     # (S,)
-        off = (hlen[:, None, None] + (koff - counts)[..., None]
-               + jnp.arange(self.k_max, dtype=i32)[None, None, :])
-        # left-pad by the max header length so every destination (which
-        # includes the header offset) stays <= its source index
-        m = hpad + self.npix * self.k_max
-        idxg = jnp.arange(m - hpad, dtype=i32).reshape(
-            self.npix, self.k_max)[None]
-        delta = jnp.where(valid, idxg + hpad - off, 0)
-        packed = jnp.where(
-            valid, (delta << 10) | (1 << 9) | (bit << 8) | sv_em, 0)
-        packed = jnp.concatenate(
-            [jnp.zeros((n_slices, hpad), i32),
-             packed.reshape(n_slices, -1)], axis=1)
-        return packed, total
-
-    def _s_compact(self, packed, op_cap):
-        return self._disp(self._s_compact_jit, self._s_compact_impl,
-                          packed, op_cap)
+    def _s_expand(self, words_n, diff, svp, btp, hlen, op_cap):
+        """Per-pixel sv words (stream order) -> packed compacted op
+        stream (S, op_cap).  TPU: the streaming expand kernel
+        (expand_pallas.py); CPU: the emission-grid reference."""
+        if jax.default_backend() == "tpu" and self.use_pallas:
+            from .expand_pallas import WBLK, expand_pallas
+            win, totals, n_ops = self._s_window_jit(
+                words_n, diff, svp, btp, hlen, op_cap)
+            hpad = int(svp.shape[1])
+            nblk = -(-(hpad + self.npix + 3) // 128) + WBLK
+            C = -(-(len(words_n) + 2) // 8) * 8
+            opw = expand_pallas(win, totals, op_cap // 128, nblk, C,
+                                len(words_n), self.code_bits)
+            return opw.reshape(diff.shape[0], op_cap), n_ops
+        return self._s_expand_ref(words_n, diff, svp, btp, hlen, op_cap)
 
     @functools.partial(jax.jit, static_argnames=("self", "op_cap"))
-    def _s_compact_jit(self, packed, op_cap):
-        return self._s_compact_impl(packed, op_cap)
+    def _s_window_jit(self, words_n, diff, svp, btp, hlen, op_cap):
+        from .expand_pallas import build_expand_window
+        win, totals, n_ops, _, _ = build_expand_window(
+            words_n, diff, svp, btp, hlen, op_cap)
+        return win, totals, n_ops
 
-    def _s_compact_impl(self, packed, op_cap):
-        return shift_compact_packed(packed, op_cap)
-
-    def _s_overlay(self, packed, total, svp, btp, hlen, op_cap):
-        return self._disp(self._s_overlay_jit, self._s_overlay_impl,
-                          packed, total, svp, btp, hlen, op_cap)
-
-    @functools.partial(jax.jit, static_argnames=("self", "op_cap"))
-    def _s_overlay_jit(self, packed, total, svp, btp, hlen, op_cap):
-        return self._s_overlay_impl(packed, total, svp, btp, hlen, op_cap)
-
-    def _s_overlay_impl(self, packed, total, svp, btp, hlen, op_cap):
-        sv_st = packed & 0xFF
-        bit_st = (packed >> 8) & 1
-        valid = (packed & (1 << 9)) != 0
-        return self._overlay_arrays(sv_st, bit_st, valid, total, svp,
-                                    btp, hlen, op_cap)
-
-    def _overlay_arrays(self, sv_st, bit_st, valid, total, svp, btp,
-                        hlen, op_cap):
-        # overlay prefix ops and the terminator / flush tail
-        i32 = jnp.int32
-        pos = jnp.arange(op_cap, dtype=i32)[None, :]
-        in_hdr = pos < hlen[:, None]
-        hsv = jnp.pad(svp, ((0, 0), (0, max(0, op_cap - svp.shape[1])))
-                      )[:, :op_cap]
-        hbt = jnp.pad(btp, ((0, 0), (0, max(0, op_cap - btp.shape[1])))
-                      )[:, :op_cap]
-        sv_st = jnp.where(in_hdr, hsv, sv_st)
-        bit_st = jnp.where(in_hdr, hbt, bit_st)
-        term = pos == total[:, None]
-        sv_st = jnp.where(term, TERMINATOR_SV, sv_st)
-        bit_st = jnp.where(term, 0, bit_st)
-        mode = jnp.where(in_hdr | valid | term, MODE_OP,
-                         jnp.where(pos == total[:, None] + 1, MODE_FLUSH1,
-                                   jnp.where(pos == total[:, None] + 2,
-                                             MODE_FLUSH2, MODE_NOP)))
-        return sv_st, bit_st, mode, total + 3, jnp.max(total) + 3
+    def _s_expand_ref(self, words_n, diff, svp, btp, hlen, op_cap):
+        from .expand_pallas import expand_ops_reference
+        return expand_ops_reference(words_n, diff, svp, btp, hlen,
+                                    op_cap, self.code_bits)
 
     def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap):
         if self.use_pallas:
@@ -1181,10 +1088,10 @@ class DeviceFFV1Encoder:
                                jnp.asarray(self.table), tiles_cap,
                                code_bits=self.code_bits)
 
-    def _code_render(self, sv, bit, mode, steps, buf_cap, fast=True):
+    def _code_render(self, opw, steps, buf_cap, fast=True):
         """Arithmetic coding + packet-byte rendering, fully on device.
 
-        sv/bit/mode: (S, op_cap) op streams from the pipeline.  Returns
+        opw: (S, op_cap) packed op words from the pipeline.  Returns
         (bytes uint8 (S, buf_cap), true lengths int32 (S,), fc_max) —
         the only data the host ever fetches.  fast uses the packed
         staged-event compaction; the caller re-renders with fast=False
@@ -1197,27 +1104,24 @@ class DeviceFFV1Encoder:
         with the render's log-shift passes); dispatches queue
         asynchronously so the split costs nothing."""
         if jax.default_backend() == "tpu":
-            f, c, v = self._coder_jit(sv, bit, mode, steps)
-            return self._render_jit(f, c, v, int(sv.shape[0]), steps,
+            f, c, v = self._coder_jit(opw, steps)
+            return self._render_jit(f, c, v, int(opw.shape[0]), steps,
                                     buf_cap, fast)
-        return self._code_render_impl(sv, bit, mode, steps, buf_cap,
-                                      fast)
+        return self._code_render_impl(opw, steps, buf_cap, fast)
 
     @functools.partial(jax.jit, static_argnames=("self", "steps"))
-    def _coder_jit(self, sv, bit, mode, steps):
-        return self._coder_impl(sv, bit, mode, steps)
+    def _coder_jit(self, opw, steps):
+        return self._coder_impl(opw, steps)
 
-    def _coder_impl(self, sv, bit, mode, steps):
-        S = sv.shape[0]
+    def _coder_impl(self, opw, steps):
+        S = opw.shape[0]
         lanes = -(-S // 128) * 128
-        svT = jnp.pad(sv[:, :steps].T, ((0, 0), (0, lanes - S)))
-        btT = jnp.pad(bit[:, :steps].T, ((0, 0), (0, lanes - S)))
-        mdT = jnp.pad(mode[:, :steps].T, ((0, 0), (0, lanes - S)))
+        opT = jnp.pad(opw[:, :steps].T, ((0, 0), (0, lanes - S)))
         if jax.default_backend() == "tpu":
-            from .pallas_coder import rac_pallas_lanes
-            return rac_pallas_lanes(svT, btT, mdT)
+            from .pallas_coder import rac_pallas_packed
+            return rac_pallas_packed(opT)
         from .tpu_coder import rac_scan_lanes
-        return rac_scan_lanes(svT, btT, mdT)
+        return rac_scan_lanes(opT & 0xFF, (opT >> 8) & 1, (opT >> 9) & 3)
 
     @functools.partial(jax.jit,
                        static_argnames=("self", "S", "steps", "buf_cap",
@@ -1229,23 +1133,22 @@ class DeviceFFV1Encoder:
         by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         return by, ln, jnp.zeros((), jnp.int32)
 
-    def _code_render_impl(self, sv, bit, mode, steps, buf_cap, fast):
-        S = sv.shape[0]
-        f, c, v = self._coder_impl(sv, bit, mode, steps)
+    def _code_render_impl(self, opw, steps, buf_cap, fast):
+        S = opw.shape[0]
+        f, c, v = self._coder_impl(opw, steps)
         if fast and steps < (1 << 20):
             return render_bytes_fast(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         return by, ln, jnp.zeros((), jnp.int32)
 
-    def _render_retry(self, sv, bit, mode, steps):
+    def _render_retry(self, opw, steps):
         """code+render with buffer-growth and fcount-overflow retries;
         returns (bytes device array, host lengths)."""
         for _ in range(6):
-            by, ln, fcm = self._code_render(sv, bit, mode, steps,
-                                            self.render_cap)
+            by, ln, fcm = self._code_render(opw, steps, self.render_cap)
             ln_h = np.asarray(ln)
             if int(np.asarray(fcm)) > 1023:
-                by, ln, _ = self._code_render(sv, bit, mode, steps,
+                by, ln, _ = self._code_render(opw, steps,
                                               self.render_cap,
                                               fast=False)
                 ln_h = np.asarray(ln)
@@ -1268,7 +1171,7 @@ class DeviceFFV1Encoder:
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         canon0 = self.canonical
         for _ in range(8):
-            sv, bit, mode, n_ops, canon, sizes = self._pipeline(
+            opw, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
                 (self.tiles_cap, self.cellrows_cap, self.op_cap,
                  self.sortrows_cap))
@@ -1292,15 +1195,15 @@ class DeviceFFV1Encoder:
             if opmax > self.op_cap:
                 self.op_cap = min(
                     self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2) // 512) * 512)
+                    -(-max(opmax + 512, self.op_cap * 2) // 2048) * 2048)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
         # arithmetic coding + rendering on device (steps: pow2 bucket ->
         # jit reuse); the host fetches only packed bytes + lengths
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
-        steps = max(512, min(steps, int(sv.shape[1])))
-        by, ln_h = self._render_retry(sv, bit, mode, steps)
+        steps = max(512, min(steps, int(opw.shape[1])))
+        by, ln_h = self._render_retry(opw, steps)
         by_h = np.asarray(by)
         chunks = []
         for si in range(p.slice_count):
@@ -1369,7 +1272,7 @@ class DeviceFFV1Encoder:
         st = self._batch_state(B)
         for _ in range(8):
             caps = (st["tiles"], st["cellrows"], self.op_cap, st["sort"])
-            sv, bit, mode, n_ops, _, sizes = self._pipeline_batch(
+            opw, n_ops, _, sizes = self._pipeline_batch(
                 dev, st["canon"], caps)
             rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
             if (rows + 1024 <= st["cellrows"] and rows <= st["sort"]
@@ -1386,12 +1289,12 @@ class DeviceFFV1Encoder:
             if opmax > self.op_cap:
                 self.op_cap = min(
                     self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2) // 512) * 512)
+                    -(-max(opmax + 512, self.op_cap * 2) // 2048) * 2048)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
-        steps = max(512, min(steps, int(sv.shape[1])))
-        by, ln_h = self._render_retry(sv, bit, mode, steps)
+        steps = max(512, min(steps, int(opw.shape[1])))
+        by, ln_h = self._render_retry(opw, steps)
         by_h = np.asarray(by)
         pkts = []
         for b in range(B):
