@@ -137,9 +137,9 @@ def main():
         rcap = dev.render_cap
 
         def frame_step(t, canon):
-            sv, bit, mode, n_ops, canon, sizes = dev._pipeline(
+            opw, n_ops, canon, sizes = dev._pipeline(
                 planes_dev[t], canon, gop(t), caps)
-            by, ln, fcm = dev._code_render(sv, bit, mode, ev_use, rcap)
+            by, ln, fcm = dev._code_render(opw, ev_use, rcap)
             probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
                      + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
             return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm
@@ -182,9 +182,9 @@ def main():
             bcaps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
 
             def bstep(fr):
-                sv, bit, mode, n_ops, _, sizes = dev._pipeline_batch(
+                opw, n_ops, _, sizes = dev._pipeline_batch(
                     fr, st["canon"], bcaps)
-                by, ln, fcm = dev._code_render(sv, bit, mode, ev_use,
+                by, ln, fcm = dev._code_render(opw, ev_use,
                                                dev.render_cap)
                 return (jnp.sum(ln) + jnp.sum(sizes) + fcm
                         + jnp.sum(by[:, :128].astype(jnp.int32)),

@@ -984,19 +984,32 @@ class DeviceFFV1Encoder:
 
     def _s_front(self, ctx, diff, canonical, keyframe, tiles_cap,
                  cellrows_cap):
-        return self._disp(self._s_front_jit, self._s_front_impl,
-                          ctx, diff, canonical, keyframe, tiles_cap,
-                          cellrows_cap)
+        """Layout + scatter + s0 + adapt + writeback, as FOUR separate
+        jitted dispatches (plus the pallas adapt kernel).  Splitting
+        matters twice over: XLA compile time is superlinear in graph
+        size (the monolithic front took ~10 min server-side per cap
+        variant; the pieces compile in under a minute total), and a cap
+        retry only recompiles the pieces whose shapes changed."""
+        plan = self._s_layout(ctx, diff, tiles_cap, cellrows_cap)
+        ch1c, ch2c = self._s_scatter(plan, cellrows_cap)
+        if keyframe:
+            canonical = jnp.full_like(canonical, 128)
+        s0 = self._s_s0(plan, canonical, tiles_cap)
+        sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
+                                     cellrows_cap)
+        canonical, psizes = self._s_wb(plan, canonical, ends, tiles_cap)
+        return sv_words, ch2c, canonical, psizes
+
+    def _s_layout(self, ctx, diff, tiles_cap, cellrows_cap):
+        return self._disp(self._s_layout_jit, self._s_layout_impl,
+                          ctx, diff, tiles_cap, cellrows_cap)
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "keyframe", "tiles_cap", "cellrows_cap"))
-    def _s_front_jit(self, ctx, diff, canonical, keyframe, tiles_cap,
-                     cellrows_cap):
-        return self._s_front_impl(ctx, diff, canonical, keyframe,
-                                  tiles_cap, cellrows_cap)
+        "self", "tiles_cap", "cellrows_cap"))
+    def _s_layout_jit(self, ctx, diff, tiles_cap, cellrows_cap):
+        return self._s_layout_impl(ctx, diff, tiles_cap, cellrows_cap)
 
-    def _s_front_impl(self, ctx, diff, canonical, keyframe, tiles_cap,
-                      cellrows_cap):
+    def _s_layout_impl(self, ctx, diff, tiles_cap, cellrows_cap):
         row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
         plan = layout_plan(row_local, diff, self.rows_per_slice,
                            tiles_cap * 128, tiles_cap,
@@ -1008,16 +1021,37 @@ class DeviceFFV1Encoder:
         plan["tile_bases"] = jnp.minimum(plan["tile_bases"], lim)
         plan["tile_caps"] = jnp.minimum(
             plan["tile_caps"], lim - plan["tile_bases"])
-        ch1c, ch2c = scatter_cells(plan, cellrows_cap)
-        if keyframe:
-            canonical = jnp.full_like(canonical, 128)
-        s0 = build_s0_blocks(plan, canonical, tiles_cap)
-        sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
-                                     cellrows_cap)
+        return plan
+
+    def _s_scatter(self, plan, cellrows_cap):
+        return self._disp(self._s_scatter_jit, scatter_cells,
+                          plan, cellrows_cap)
+
+    @functools.partial(jax.jit, static_argnames=("self", "cellrows_cap"))
+    def _s_scatter_jit(self, plan, cellrows_cap):
+        return scatter_cells(plan, cellrows_cap)
+
+    def _s_s0(self, plan, canonical, tiles_cap):
+        return self._disp(self._s_s0_jit, build_s0_blocks,
+                          plan, canonical, tiles_cap)
+
+    @functools.partial(jax.jit, static_argnames=("self", "tiles_cap"))
+    def _s_s0_jit(self, plan, canonical, tiles_cap):
+        return build_s0_blocks(plan, canonical, tiles_cap)
+
+    def _s_wb(self, plan, canonical, ends, tiles_cap):
+        return self._disp(self._s_wb_jit, self._s_wb_impl,
+                          plan, canonical, ends, tiles_cap)
+
+    @functools.partial(jax.jit, static_argnames=("self", "tiles_cap"))
+    def _s_wb_jit(self, plan, canonical, ends, tiles_cap):
+        return self._s_wb_impl(plan, canonical, ends, tiles_cap)
+
+    def _s_wb_impl(self, plan, canonical, ends, tiles_cap):
         canonical = writeback_canonical(plan, canonical, ends, tiles_cap)
         psizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
                             plan["n_slots"]])
-        return sv_words, ch2c, canonical, psizes
+        return canonical, psizes
 
     def _s_unsort(self, sv_words, ch2c, n_slices, sortrows_cap):
         return self._disp(self._s_unsort_jit, self._s_unsort_impl,

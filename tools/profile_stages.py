@@ -78,10 +78,16 @@ def main():
     svp, btp, hlen = dev.prefix[True]
 
     ctx, diff = timed("phase_a", dev._phase_a, planes)
-    front = timed("front(layout+scatter+s0+adapt+wb)",
-                  lambda *a: dev._s_front(*a),
-                  ctx, diff, canon, True, tiles_cap, cellrows_cap)
-    sv_words, ch2c, canon2, psizes = front
+    plan = timed("layout", lambda *a: dev._s_layout(*a),
+                 ctx, diff, tiles_cap, cellrows_cap)
+    ch1c, ch2c = timed("scatter", lambda *a: dev._s_scatter(*a),
+                       plan, cellrows_cap)
+    canonk = jnp.full_like(canon, 128)
+    s0 = timed("s0", lambda *a: dev._s_s0(*a), plan, canonk, tiles_cap)
+    sv_words, ends = timed("adapt", lambda *a: dev._adapt(*a),
+                           ch1c, plan, s0, tiles_cap, cellrows_cap)
+    canon2, psizes = timed("writeback", lambda *a: dev._s_wb(*a),
+                           plan, canonk, ends, tiles_cap)
     words_n = timed("unsort", lambda *a: dev._s_unsort(*a),
                     sv_words, ch2c, slices, sortrows_cap)
     win, totals, n_ops = timed(
