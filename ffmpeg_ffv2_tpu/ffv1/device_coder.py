@@ -865,12 +865,14 @@ class DeviceFFV1Encoder:
                                 jnp.asarray(hlen))
         # adaptive per-slice op-stream capacity (like tiles/cellrows):
         # start at a content-typical ~4 ops/pixel, grow on overflow.
-        # 2048-multiples: the expand kernel's grid-chunk granularity
+        # OP_GRAN-multiples: the expand kernel's grid-chunk granularity
+        from .expand_pallas import OP_GRAN
         hmax = max(int(self.prefix[k][0].shape[1]) for k in (True, False))
         self.op_cap_max = -(-(self.npix * self.k_max + hmax + 8)
-                            // 2048) * 2048
+                            // OP_GRAN) * OP_GRAN
         self.op_cap = min(self.op_cap_max,
-                          -(-(self.npix * 4 + hmax + 1024) // 2048) * 2048)
+                          -(-(self.npix * 4 + hmax + 1024)
+                            // OP_GRAN) * OP_GRAN)
         # per-slice rendered-packet capacity (adaptive, like op_cap):
         # each rac op emits at most one staged byte (+ run fills), so
         # op_cap_max + slack bounds any slice; start at ~1 byte/pixel
@@ -958,8 +960,9 @@ class DeviceFFV1Encoder:
                          + (n_slices * self.rows_per_slice) // 128 + 8)
             cellrows_cap = (n // 128 + (n_buckets + 2) * GCAP
                             + tiles_cap + 128)
+            from .expand_pallas import OP_GRAN
             op_cap = -(-(self.npix * self.k_max + int(svp.shape[1]) + 8)
-                       // 2048) * 2048
+                       // OP_GRAN) * OP_GRAN
             sortrows_cap = cellrows_cap
         elif len(caps) == 3:
             tiles_cap, cellrows_cap, op_cap = caps
@@ -1090,7 +1093,7 @@ class DeviceFFV1Encoder:
                 words_n, diff, svp, btp, hlen, op_cap)
             hpad = int(svp.shape[1])
             nblk = -(-(hpad + self.npix + 3) // 128) + WBLK
-            C = -(-(len(words_n) + 2) // 8) * 8
+            C = len(words_n) + 2
             opw = expand_pallas(win, totals, op_cap // 128, nblk, C,
                                 len(words_n), self.code_bits)
             return opw.reshape(diff.shape[0], op_cap), n_ops
@@ -1227,9 +1230,11 @@ class DeviceFFV1Encoder:
                 self.cellrows_cap,
                 max(rows + 512, self.sortrows_cap * 2))
             if opmax > self.op_cap:
+                from .expand_pallas import OP_GRAN
                 self.op_cap = min(
                     self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2) // 2048) * 2048)
+                    -(-max(opmax + 512, self.op_cap * 2)
+                      // OP_GRAN) * OP_GRAN)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
@@ -1321,9 +1326,11 @@ class DeviceFFV1Encoder:
             st["sort"] = min(st["cellrows"],
                              max(rows + 512, st["sort"] * 2))
             if opmax > self.op_cap:
+                from .expand_pallas import OP_GRAN
                 self.op_cap = min(
                     self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2) // 2048) * 2048)
+                    -(-max(opmax + 512, self.op_cap * 2)
+                      // OP_GRAN) * OP_GRAN)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()

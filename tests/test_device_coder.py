@@ -352,3 +352,44 @@ def test_shift_compact_expand_randomized():
         expect[dest] = ref
         assert np.array_equal(eo, expect), f"expand trial {trial}"
         assert np.array_equal(em, expect != 0)
+
+
+@pytest.mark.parametrize("code_bits,half", [(8, 128), (16, 32768)])
+def test_expand_pallas_interpret_matches_reference(code_bits, half):
+    """Streaming expand kernel (interpret mode) == XLA emission grids."""
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ffv1.expand_pallas import (
+        build_expand_window, expand_pallas, expand_ops_reference,
+        WBLK, OP_GRAN)
+    rng = np.random.RandomState(3)
+    S, npix = 3, 1500
+    W = len(range(dc.n_sv_words(code_bits)))
+    # diff mix: zeros runs (count-1 records), small, extreme values
+    diff = rng.randint(-half, half, (S, npix))
+    diff[:, :300] = 0
+    diff[1, 400:800] = rng.randint(-3, 4, 400)
+    diff = jnp.asarray(diff, jnp.int32)
+    words = [jnp.asarray(rng.randint(-2**31, 2**31 - 1, (S, npix),
+                                     dtype=np.int64).astype(np.int32))
+             for _ in range(W)]
+    hpad = 40
+    svp = jnp.asarray(rng.randint(0, 256, (S, hpad)), jnp.int32)
+    btp = jnp.asarray(rng.randint(0, 2, (S, hpad)), jnp.int32)
+    hlen = jnp.asarray([40, 17, 33], jnp.int32)
+
+    k_max = dc.k_max_for_bits(code_bits)
+    op_cap = -(-(npix * k_max + hpad + 8) // OP_GRAN) * OP_GRAN
+    ref, n_ops = expand_ops_reference(words, diff, svp, btp, hlen,
+                                      op_cap, code_bits)
+    win, totals, n_ops2, nblk, C = build_expand_window(
+        words, diff, svp, btp, hlen, op_cap)
+    assert C == W + 2 and win.shape[0] == C
+    got = expand_pallas(win, totals, op_cap // 128, nblk, C, W,
+                        code_bits, interpret=True)
+    got = np.asarray(got).reshape(S, op_cap)
+    ref = np.asarray(ref)
+    assert np.array_equal(np.asarray(n_ops), np.asarray(n_ops2))
+    for s in range(S):
+        ne = np.nonzero(got[s] != ref[s])[0]
+        assert ne.size == 0, \
+            f"slice {s}: {ne.size} mismatches, first at {ne[:5]}"

@@ -96,7 +96,7 @@ def main():
     hpad = int(svp.shape[1])
     from ffmpeg_ffv2_tpu.ffv1.expand_pallas import WBLK, expand_pallas
     nblk = -(-(hpad + dev.npix + 3) // 128) + WBLK
-    C = -(-(len(words_n) + 2) // 8) * 8
+    C = len(words_n) + 2
     opw3 = timed("expand", lambda *a: expand_pallas(*a),
                  win, totals, op_cap // 128, nblk, C, len(words_n),
                  dev.code_bits)
