@@ -1027,8 +1027,24 @@ class DeviceFFV1Encoder:
         return plan
 
     def _s_scatter(self, plan, cellrows_cap):
+        if jax.default_backend() == "tpu" and self.use_pallas:
+            from ..ops.place_pallas import place_sorted_pallas
+            dest, ch1, orig = self._s_destsort_jit(plan)
+            nrows = -(-cellrows_cap // 32) * 32
+            drop = jnp.iinfo(jnp.int32).max
+            ch1c, ch2c = place_sorted_pallas(
+                dest, (ch1, orig), nrows, (0, drop))
+            return ch1c[:cellrows_cap], ch2c[:cellrows_cap]
         return self._disp(self._s_scatter_jit, scatter_cells,
                           plan, cellrows_cap)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _s_destsort_jit(self, plan):
+        """Sort the cell channels by destination: XLA sorts run ~3 ms
+        per million-operand here vs ~6 ms/M for scatter, and sorted
+        dests turn the scatter into a streaming monotone placement."""
+        return jax.lax.sort((plan["dest"], plan["ch1"], plan["orig"]),
+                            num_keys=1)
 
     @functools.partial(jax.jit, static_argnames=("self", "cellrows_cap"))
     def _s_scatter_jit(self, plan, cellrows_cap):

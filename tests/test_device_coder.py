@@ -393,3 +393,31 @@ def test_expand_pallas_interpret_matches_reference(code_bits, half):
         ne = np.nonzero(got[s] != ref[s])[0]
         assert ne.size == 0, \
             f"slice {s}: {ne.size} mismatches, first at {ne[:5]}"
+
+
+def test_place_sorted_pallas_interpret():
+    """Sorted-placement kernel (interpret) == XLA scatter with drops."""
+    import jax
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ops.place_pallas import place_sorted_pallas
+    rng = np.random.RandomState(11)
+    drop = np.iinfo(np.int32).max
+    for trial, (nrows, n) in enumerate([(64, 1000), (96, 9000),
+                                        (160, 200)]):
+        cells = nrows * 128
+        dest = rng.permutation(cells)[:n].astype(np.int32)
+        dest[rng.rand(n) < 0.05] = drop
+        ch1 = rng.randint(1, 1 << 14, n).astype(np.int32)
+        ch2 = rng.randint(0, 1 << 22, n).astype(np.int32)
+        sd, s1, s2 = jax.lax.sort(
+            (jnp.asarray(dest), jnp.asarray(ch1), jnp.asarray(ch2)),
+            num_keys=1)
+        o1, o2 = place_sorted_pallas(sd, (s1, s2), nrows, (0, drop),
+                                     interpret=True)
+        e1 = np.zeros(cells, np.int32)
+        e2 = np.full(cells, drop, np.int32)
+        ok = dest != drop
+        e1[dest[ok]] = ch1[ok]
+        e2[dest[ok]] = ch2[ok]
+        assert np.array_equal(np.asarray(o1).ravel(), e1), f"t{trial} ch1"
+        assert np.array_equal(np.asarray(o2).ravel(), e2), f"t{trial} ch2"
