@@ -114,6 +114,11 @@ def n_sv_words(bits: int) -> int:
     return 8 + (r + 1) // 2
 
 
+def n_ev_words(bits: int) -> int:
+    """Emission-order byte words per cell: ceil(k_max / 4)."""
+    return (k_max_for_bits(bits) + 3) // 4
+
+
 def exponent(a):
     """floor(log2(a)) for 1 <= a < 2^24 via the f32 exponent; -1 for 0."""
     f = a.astype(jnp.float32)
@@ -207,6 +212,57 @@ def emission_source(diff, k_max: int):
     shift = jnp.where(j == 0, (slot & 3) * 8,
                       ((j - 1) % 2) * 16 + jnp.where(slot == 31, 8, 0))
     return word, shift
+
+
+def repack_emission_order(sv_words, diff, code_bits: int):
+    """Slot-packed sv words -> EMISSION-ORDER byte words.
+
+    sv_words: (..., W, 128) int32 (W = n_sv_words); diff: (..., 128)
+    signed per-cell diff.  Output (..., Wk, 128), Wk = n_ev_words: byte
+    k of a cell's output stream (word k >> 2, byte k & 3) is the sv
+    byte its k-th rac op consumes, so downstream indexing needs only k.
+    Shrinks the unsort payload (8 -> 5 words at 8 bit, 11 -> 9 at 16)
+    and deletes the expand kernel's slot->word mapping."""
+    k_max = k_max_for_bits(code_bits)
+    Wk = (k_max + 3) // 4
+    W = sv_words.shape[-2]
+    e = exponent(jnp.abs(diff))
+    outs = []
+    for m in range(Wk):
+        acc = jnp.zeros_like(diff)
+        for k in range(4 * m, min(4 * m + 4, k_max)):
+            if k == 0:
+                word = jnp.zeros_like(e)
+                shift = jnp.zeros_like(e)
+            else:
+                mant_i = 2 * e + 1 - k
+                slot = jnp.where(
+                    k <= e, min(k, 10),
+                    jnp.where(k == e + 1, jnp.minimum(e + 1, 10),
+                              jnp.where(k <= 2 * e + 1,
+                                        22 + jnp.minimum(mant_i, 9),
+                                        11 + jnp.minimum(e, 10))))
+                if code_bits <= 10:
+                    word = slot >> 2
+                    shift = (slot & 3) * 8
+                else:
+                    h10 = jnp.where(k <= e, k - 9, e - 8)
+                    h31 = k - e - 1
+                    h = jnp.where(slot == 10, jnp.maximum(h10, 1),
+                                  jnp.where(slot == 31,
+                                            jnp.maximum(h31, 1), 1))
+                    j = h - 1
+                    word = jnp.where(j == 0, slot >> 2, 8 + (j - 1) // 2)
+                    shift = jnp.where(
+                        j == 0, (slot & 3) * 8,
+                        ((j - 1) % 2) * 16 + jnp.where(slot == 31, 8, 0))
+            b = jnp.zeros_like(diff)
+            for wi in range(W):
+                b = jnp.where(word == wi, sv_words[..., wi, :], b)
+            b = (b >> shift) & 0xFF
+            acc = acc | (b << ((k & 3) * 8))
+        outs.append(acc)
+    return jnp.stack(outs, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -365,17 +421,19 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
     pidx2 = jnp.arange(M, dtype=i32)[None, :]
     st = jax.lax.cummax(jnp.where(is_sent, pidx2, -1), axis=1)
     r = pidx2 - st - 1                                # rank within group
-    nxt_row = jnp.concatenate(
-        [row_s[:, 1:], jnp.full((S, 1), -1, i32)], axis=1)
-    gend = (~is_sent) & (row_s != nxt_row)
-    # per-(slice, chain row) group sizes: ONE masked pixel-sized scatter
-    sflat = (jnp.arange(S, dtype=i32)[:, None] * rows_per_slice + row_s)
-    size_g = jnp.zeros(G, i32).at[
-        jnp.where(gend, sflat, drop)].set(
-        r + 1, mode="drop", unique_indices=True).reshape(
-        S, rows_per_slice)
-    # sentinel position of each group (sorted order is by chain row)
-    spos = jnp.cumsum(size_g + 1, axis=1) - (size_g + 1)
+    # per-(slice, chain row) group sizes WITHOUT a pixel-sized scatter
+    # (XLA scatter costs ~5 ns per UPDATE even when masked — 16 ms here;
+    # a 2-operand batched sort is ~3 ms): compact the sentinel sorted
+    # positions per slice — every chain row has exactly one sentinel and
+    # sentinels sort in chain-row order, so slice s's k-th compacted
+    # entry IS group (s, k)'s start; sizes are adjacent differences.
+    sent_key = jnp.where(is_sent, row_s, drop)
+    _, sent_pos = jax.lax.sort((sent_key, pidx2 + jnp.zeros((S, 1), i32)),
+                               num_keys=1, dimension=1)
+    spos = sent_pos[:, :rows_per_slice]               # group start (sent)
+    nxt_spos = jnp.concatenate(
+        [spos[:, 1:], jnp.full((S, 1), M, i32)], axis=1)
+    size_g = nxt_spos - spos - 1
 
     # ---- group-domain class ordering ---------------------------------------
     # buckets (split groups + exact-GCAP groups) by (n_sb desc, group asc),
@@ -971,9 +1029,10 @@ class DeviceFFV1Encoder:
             tiles_cap, cellrows_cap, op_cap, sortrows_cap = caps
         sortrows_cap = min(sortrows_cap, cellrows_cap)
 
-        sv_words, ch2c, canonical, psizes = self._s_front(
+        sv_words, ch1c, ch2c, canonical, psizes = self._s_front(
             ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap)
-        words_n = self._s_unsort(sv_words, ch2c, n_slices, sortrows_cap)
+        words_n = self._s_unsort(sv_words, ch1c, ch2c, n_slices,
+                                 sortrows_cap)
         opw, n_ops = self._s_expand(words_n, diff, svp, btp, hlen, op_cap)
         sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None]])
         return opw, n_ops, canonical, sizes
@@ -1001,7 +1060,7 @@ class DeviceFFV1Encoder:
         sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
                                      cellrows_cap)
         canonical, psizes = self._s_wb(plan, canonical, ends, tiles_cap)
-        return sv_words, ch2c, canonical, psizes
+        return sv_words, ch1c, ch2c, canonical, psizes
 
     def _s_layout(self, ctx, diff, tiles_cap, cellrows_cap):
         return self._disp(self._s_layout_jit, self._s_layout_impl,
@@ -1072,16 +1131,18 @@ class DeviceFFV1Encoder:
                             plan["n_slots"]])
         return canonical, psizes
 
-    def _s_unsort(self, sv_words, ch2c, n_slices, sortrows_cap):
+    def _s_unsort(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap):
         return self._disp(self._s_unsort_jit, self._s_unsort_impl,
-                          sv_words, ch2c, n_slices, sortrows_cap)
+                          sv_words, ch1c, ch2c, n_slices, sortrows_cap)
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "n_slices", "sortrows_cap"))
-    def _s_unsort_jit(self, sv_words, ch2c, n_slices, sortrows_cap):
-        return self._s_unsort_impl(sv_words, ch2c, n_slices, sortrows_cap)
+    def _s_unsort_jit(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap):
+        return self._s_unsort_impl(sv_words, ch1c, ch2c, n_slices,
+                                   sortrows_cap)
 
-    def _s_unsort_impl(self, sv_words, ch2c, n_slices, sortrows_cap):
+    def _s_unsort_impl(self, sv_words, ch1c, ch2c, n_slices,
+                       sortrows_cap):
         # cells -> stream order: payload sort over the TIGHT cell domain
         # (on this chip XLA pixel-sized gathers run ~10 ns/element while
         # sorts run ~1 ns/element — permutations ride sorts; see
@@ -1091,8 +1152,16 @@ class DeviceFFV1Encoder:
         # scatter_cells' ch2 (stream index per cell, empty = int32 max)
         n = n_slices * self.npix
         scap = sortrows_cap
-        nw = n_sv_words(self.code_bits)
-        words = [sv_words[:scap, j, :].reshape(scap * 128)
+        # emission-order repack BEFORE the sort: the payload drops from
+        # n_sv_words to n_ev_words operands and downstream op k reads
+        # byte k directly (no slot->word mapping in the expand kernel)
+        wide = self.code_bits > 10
+        mask, bias = (0xFFFF, 32768) if wide else (0x1FFF, 2048)
+        diff_c = (ch1c[:scap] & mask) - bias
+        ev_words = repack_emission_order(sv_words[:scap], diff_c,
+                                         self.code_bits)
+        nw = n_ev_words(self.code_bits)
+        words = [ev_words[:, j, :].reshape(scap * 128)
                  for j in range(nw)]
         keys = ch2c[:scap].reshape(scap * 128)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)

@@ -108,15 +108,6 @@ def _emit_formula(k, dch, svw, W: int, code_bits: int):
     count = jnp.where(nz != 0, 2 * e + 3, 1)
     okk = (k < count).astype(jnp.int32)
     mant_i = 2 * e + 1 - k
-    eE = jnp.minimum(e + 1, 10)
-    eM = jnp.minimum(e, 10)
-    slot = jnp.where(
-        k == 0, 0,
-        jnp.where(k <= e, jnp.minimum(k, 10),
-                  jnp.where(k == e + 1, eE,
-                            jnp.where(k <= 2 * e + 1,
-                                      22 + jnp.minimum(mant_i, 9),
-                                      11 + eM))))
     bit = jnp.where(
         k == 0, 1 - nz,
         jnp.where(k <= e, 1,
@@ -124,19 +115,10 @@ def _emit_formula(k, dch, svw, W: int, code_bits: int):
                             jnp.where(k <= 2 * e + 1,
                                       (a >> jnp.maximum(mant_i, 0)) & 1,
                                       (d < 0).astype(jnp.int32)))))
-    if code_bits <= 10:
-        word_i = slot >> 2
-        shift = (slot & 3) * 8
-    else:
-        h10 = jnp.where(k <= e, k - 9, e - 8)
-        h31 = k - e - 1
-        hh = jnp.where(slot == 10, jnp.maximum(h10, 1),
-                       jnp.where(slot == 31, jnp.maximum(h31, 1), 1))
-        jj = hh - 1
-        word_i = jnp.where(jj == 0, slot >> 2, 8 + (jj - 1) // 2)
-        shift = jnp.where(
-            jj == 0, (slot & 3) * 8,
-            ((jj - 1) % 2) * 16 + jnp.where(slot == 31, 8, 0))
+    # sv words are EMISSION-ORDER packed (device_coder.
+    # repack_emission_order): op k reads byte k, for every code depth
+    word_i = k >> 2
+    shift = (k & 3) * 8
     sv = jnp.zeros_like(k)
     for wi in range(W):
         sv = jnp.where(word_i == wi, svw[wi], sv)
@@ -333,18 +315,19 @@ def expand_ops_reference(words_n, diff, svp, btp, hlen, op_cap: int,
                          code_bits: int):
     """Pure-XLA reference of the expand kernel (CPU tests / dryrun):
     same op-word layout, computed with the emission grids."""
-    from .device_coder import (emission_slots, emission_source,
-                               event_count, k_max_for_bits)
+    from .device_coder import (emission_slots, event_count,
+                               k_max_for_bits)
     from .device_coder import shift_compact
     i32 = jnp.int32
     S, npix = diff.shape
     hpad = int(svp.shape[1])
     k_max = k_max_for_bits(code_bits)
     slot, bit, valid = emission_slots(diff, k_max)
-    if code_bits > 10:
-        wsel, shf = emission_source(diff, k_max)
-    else:
-        wsel, shf = slot >> 2, (slot & 3) * 8
+    # words_n are emission-order packed: op k reads byte k
+    kg = jnp.arange(k_max, dtype=i32)[None, None, :]
+    wsel, shf = kg >> 2, (kg & 3) * 8
+    wsel = jnp.broadcast_to(wsel, slot.shape)
+    shf = jnp.broadcast_to(shf, slot.shape)
     sv = jnp.zeros_like(slot)
     for j in range(len(words_n)):
         sv = jnp.where(wsel == j, words_n[j][..., None], sv)

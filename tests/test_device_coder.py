@@ -363,7 +363,7 @@ def test_expand_pallas_interpret_matches_reference(code_bits, half):
         WBLK, OP_GRAN)
     rng = np.random.RandomState(3)
     S, npix = 3, 1500
-    W = len(range(dc.n_sv_words(code_bits)))
+    W = dc.n_ev_words(code_bits)
     # diff mix: zeros runs (count-1 records), small, extreme values
     diff = rng.randint(-half, half, (S, npix))
     diff[:, :300] = 0

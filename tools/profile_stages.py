@@ -89,7 +89,7 @@ def main():
     canon2, psizes = timed("writeback", lambda *a: dev._s_wb(*a),
                            plan, canonk, ends, tiles_cap)
     words_n = timed("unsort", lambda *a: dev._s_unsort(*a),
-                    sv_words, ch2c, slices, sortrows_cap)
+                    sv_words, ch1c, ch2c, slices, sortrows_cap)
     win, totals, n_ops = timed(
         "window", lambda *a: dev._s_window_jit(*a),
         words_n, diff, svp, btp, hlen, op_cap)
