@@ -363,7 +363,8 @@ GCAP = 4096          # max pixels per lane (sub-lane size for split groups)
 
 
 def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
-                tiles_cap: int, wide: bool = False):
+                tiles_cap: int, wide: bool = False,
+                payload_bits: int = 0):
     """Group-sort + lane/tile layout (group-domain formulation).
 
     row_local/diff: int32 (n_slices, npix) per-slice coding-order streams;
@@ -529,8 +530,12 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
     dest = jnp.where(is_sent, drop,
                      jnp.where((wfill & 1) == 1, dest_b, v + r * 128))
     # cell channel: biased diff + pixel-valid flag ("wide" = coding
-    # depths 11..16, 16-bit diff field)
-    if wide:
+    # depths 11..16, 16-bit diff field).  payload_bits > 0: ``diff``
+    # already carries an encoded payload (e.g. the rice walk's
+    # diff+2048 | silent<<12); only the valid flag is added.
+    if payload_bits:
+        ch1 = diff_s | ((~is_sent).astype(i32) << payload_bits)
+    elif wide:
         ch1 = (diff_s + 32768) | ((~is_sent).astype(i32) << 16)
     else:
         ch1 = (diff_s + 2048) | ((~is_sent).astype(i32) << 13)
@@ -820,8 +825,12 @@ class DeviceFFV1Encoder:
         p = self.p = params_from_config(self.cfg, pix_fmt, width, height)
         if p.version != 3:
             raise NotImplementedError("device coder: version 3 only")
-        if p.ac == CODER_GOLOMB:
-            raise NotImplementedError("device coder: range modes only")
+        self.golomb = p.ac == CODER_GOLOMB
+        if self.golomb and p.colorspace != 0:
+            raise NotImplementedError("device rice: YUV/gray only")
+        if self.golomb and p.bits > 12:
+            raise NotImplementedError("device rice: bits <= 12 "
+                                      "(12-bit vlc payload field)")
         # RGB codes the RCT planes at depth bits+1 (lbd path,
         # ffv1enc_template.c:193); depths 11..16 take the slot-repeat
         # sub-step path (R = depth-10 extra masked steps per pixel)
@@ -921,6 +930,32 @@ class DeviceFFV1Encoder:
             hlen = np.array([len(s) for s in svs], np.int32)
             self.prefix[key] = (jnp.asarray(svp), jnp.asarray(btp),
                                 jnp.asarray(hlen))
+        if self.golomb:
+            # vlc canonical state table (one 4-word row per chain) and
+            # host-rendered slice headers: the golomb slice's rac
+            # TERMINATES after the header (encoder.py:80-83), so the
+            # header bytes are static per (keyframe, slice)
+            from .device_rice import VLC_INIT
+            self.vcanon = jnp.asarray(
+                np.tile(VLC_INIT, (self.n_chain_rows + 1, 1)))
+            self.rice_headers = {}
+            for key in (True, False):
+                hdrs = []
+                for si in range(p.slice_count):
+                    c = RangeEncoder()
+                    if si == 0:
+                        key_state = np.array([128], dtype=np.uint8)
+                        c.put(key_state, 0, 1 if key else 0)
+                    H.write_slice_header(c, p, SliceState(p), rects[si])
+                    hdrs.append(c.terminate(1))
+                self.rice_headers[key] = hdrs
+            # adaptive ladder-event and bitstream-word capacities
+            nlines = sum(prects[0][3] for prects in self.crop_plan)
+            self.ev_cap_max = self.npix + nlines + 8
+            self.ev_cap = min(self.ev_cap_max, self.npix // 4 + 1024)
+            self.nwords_max = (self.npix * 3 * 25) // 32 + 8
+            self.nwords = min(self.nwords_max, self.npix // 16 * 8 + 256)
+
         # adaptive per-slice op-stream capacity (like tiles/cellrows):
         # start at a content-typical ~4 ops/pixel, grow on overflow.
         # OP_GRAN-multiples: the expand kernel's grid-chunk granularity
@@ -987,6 +1022,178 @@ class DeviceFFV1Encoder:
             diff_parts.append(diff.reshape(p.slice_count, -1))
         return (jnp.concatenate(ctx_parts, axis=1),
                 jnp.concatenate(diff_parts, axis=1))
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _phase_a_rice(self, planes):
+        """planes -> (ctx (S, npix), rice stream dict of (S, npix))."""
+        from .tpu import plane_context_diff, _wrap16
+        from .device_rice import build_rice_streams
+        p = self.p
+        ctx_pl, diff_pl = [], []
+        for li, prects in enumerate(self.crop_plan):
+            crops = jnp.stack([
+                jax.lax.dynamic_slice(planes[li], (y, x), (h, w))
+                for (x, y, w, h) in prects])
+            crops = _wrap16(crops.astype(jnp.int32))
+            fn = functools.partial(plane_context_diff, qt=self.qt,
+                                   bits=p.bits, five=self.five)
+            ctx, diff = jax.vmap(fn)(crops)
+            ctx_pl.append(ctx)
+            diff_pl.append(diff)
+        streams = build_rice_streams(ctx_pl, diff_pl)
+        ctx = jnp.concatenate(
+            [c.reshape(p.slice_count, -1) for c in ctx_pl], axis=1)
+        return ctx, streams
+
+    # -- golomb-rice pipeline stages ---------------------------------------
+
+    def _s_rice_layout(self, ctx, payload, tiles_cap, cellrows_cap):
+        return self._disp(self._s_rice_layout_jit, self._s_rice_layout_impl,
+                          ctx, payload, tiles_cap, cellrows_cap)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "tiles_cap", "cellrows_cap"))
+    def _s_rice_layout_jit(self, ctx, payload, tiles_cap, cellrows_cap):
+        return self._s_rice_layout_impl(ctx, payload, tiles_cap,
+                                        cellrows_cap)
+
+    def _s_rice_layout_impl(self, ctx, payload, tiles_cap, cellrows_cap):
+        row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
+        plan = layout_plan(row_local, payload, self.rows_per_slice,
+                           tiles_cap * 128, tiles_cap, payload_bits=13)
+        lim = cellrows_cap - 1024
+        plan["tile_bases"] = jnp.minimum(plan["tile_bases"], lim)
+        plan["tile_caps"] = jnp.minimum(
+            plan["tile_caps"], lim - plan["tile_bases"])
+        return plan
+
+    def _s_vlc_walk(self, ch1c, plan, vcanon, keyframe, tiles_cap):
+        return self._disp(self._s_vlc_walk_jit, self._s_vlc_walk_impl,
+                          ch1c, plan, vcanon, keyframe, tiles_cap)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "keyframe", "tiles_cap"))
+    def _s_vlc_walk_jit(self, ch1c, plan, vcanon, keyframe, tiles_cap):
+        return self._s_vlc_walk_impl(ch1c, plan, vcanon, keyframe,
+                                     tiles_cap)
+
+    def _s_vlc_walk_impl(self, ch1c, plan, vcanon, keyframe, tiles_cap):
+        from .device_rice import (VLC_INIT, build_vlc_s0,
+                                  vlc_adapt_reference, writeback_vlc)
+        if keyframe:
+            vcanon = jnp.broadcast_to(
+                jnp.asarray(VLC_INIT)[None, :], vcanon.shape).astype(
+                jnp.int32)
+        s0 = build_vlc_s0(plan, vcanon, tiles_cap)
+        code_cells, ends = vlc_adapt_reference(
+            ch1c, plan["tile_caps"], plan["tile_bases"],
+            plan["tile_pred"], s0, tiles_cap, self.p.bits)
+        vcanon = writeback_vlc(plan, vcanon, ends, tiles_cap)
+        psizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
+                            plan["n_slots"]])
+        return code_cells, vcanon, psizes
+
+    def _s_rice_unsort(self, code_cells, ch2c, n_slices, sortrows_cap):
+        return self._disp(self._s_rice_unsort_jit,
+                          self._s_rice_unsort_impl,
+                          code_cells, ch2c, n_slices, sortrows_cap)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "n_slices", "sortrows_cap"))
+    def _s_rice_unsort_jit(self, code_cells, ch2c, n_slices,
+                           sortrows_cap):
+        return self._s_rice_unsort_impl(code_cells, ch2c, n_slices,
+                                        sortrows_cap)
+
+    def _s_rice_unsort_impl(self, code_cells, ch2c, n_slices,
+                            sortrows_cap):
+        n = n_slices * self.npix
+        scap = sortrows_cap
+        keys = ch2c[:scap].reshape(scap * 128)
+        codes = code_cells[:scap].reshape(scap * 128)
+        _, codes_s = jax.lax.sort((keys, codes), num_keys=1)
+        return codes_s[:n].reshape(n_slices, self.npix)
+
+    def _s_rice_bits(self, streams, vlc_codes, ev_cap, nwords):
+        return self._disp(self._s_rice_bits_jit, self._s_rice_bits_impl,
+                          streams, vlc_codes, ev_cap, nwords)
+
+    @functools.partial(jax.jit, static_argnames=("self", "ev_cap",
+                                                 "nwords"))
+    def _s_rice_bits_jit(self, streams, vlc_codes, ev_cap, nwords):
+        return self._s_rice_bits_impl(streams, vlc_codes, ev_cap, nwords)
+
+    def _s_rice_bits_impl(self, streams, vlc_codes, ev_cap, nwords):
+        from .device_rice import (assemble_bits, ladder_fields,
+                                  rice_elements)
+        ones, term_j, rem, n_lad = ladder_fields(streams, ev_cap)
+        lens, vals = rice_elements(streams, vlc_codes, ones, term_j, rem)
+        by, nbits = assemble_bits(lens, vals, nwords)
+        return by, nbits, n_lad
+
+    def _encode_rice(self, planes, keyframe: bool) -> bytes:
+        """Golomb-rice frame encode on the device pipeline.
+
+        Matches encoder.py:_encode_slice golomb mode byte for byte:
+        [static rac header][bitstream] per slice + trailer/CRC."""
+        p = self.p
+        dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
+        vcanon0 = self.vcanon
+        for _ in range(8):
+            ctx, streams = self._phase_a_rice(dev)
+            plan = self._s_rice_layout(ctx, streams["payload"],
+                                       self.tiles_cap, self.cellrows_cap)
+            ch1c, ch2c = self._s_scatter(plan, self.cellrows_cap)
+            code_cells, vcanon, psizes = self._s_vlc_walk(
+                ch1c, plan, vcanon0, keyframe, self.tiles_cap)
+            vlc_codes = self._s_rice_unsort(
+                code_cells, ch2c, p.slice_count, self.sortrows_cap)
+            by, nbits, n_lad = self._s_rice_bits(
+                streams, vlc_codes, self.ev_cap, self.nwords)
+            rows, tiles, slots = (int(v) for v in np.asarray(psizes))
+            nb = np.asarray(nbits)
+            nl = int(np.asarray(n_lad).max())
+            if (rows + 1024 <= self.cellrows_cap
+                    and rows <= self.sortrows_cap
+                    and tiles <= self.tiles_cap
+                    and slots <= self.tiles_cap * 128
+                    and nl <= self.ev_cap
+                    and int(nb.max()) <= self.nwords * 32):
+                break
+            self.tiles_cap = min(self.tiles_max,
+                                 max(tiles + 64, self.tiles_cap * 2))
+            self.cellrows_cap = min(
+                self.cellrows_max,
+                max(rows + 2048, self.cellrows_cap * 2))
+            self.sortrows_cap = min(
+                self.cellrows_cap,
+                max(rows + 512, self.sortrows_cap * 2))
+            if nl > self.ev_cap:
+                self.ev_cap = min(self.ev_cap_max,
+                                  max(nl + 512, self.ev_cap * 2))
+            if int(nb.max()) > self.nwords * 32:
+                self.nwords = min(
+                    self.nwords_max,
+                    -(-max(int(nb.max()) // 32 + 256,
+                           self.nwords * 2) // 8) * 8)
+        else:
+            raise RuntimeError("device rice exceeded worst-case caps")
+        self.vcanon = vcanon
+        by_h = np.asarray(by)
+        hdrs = self.rice_headers[keyframe]
+        chunks = []
+        for si in range(p.slice_count):
+            nby = (int(nb[si]) + 7) // 8
+            data = hdrs[si] + by_h[si, :nby].tobytes()
+            if si > 0 or p.version > 2:
+                assert len(data) < (1 << 24)
+                data += len(data).to_bytes(3, "big")
+                if p.ec:
+                    data += b"\x00"
+                    data += crc32_trailer(data)
+            chunks.append(data)
+        self.picture_number += 1
+        return b"".join(chunks)
 
     def _pipeline(self, planes, canonical, keyframe: bool, caps=None):
         ctx, diff = self._phase_a(planes)
@@ -1251,6 +1458,11 @@ class DeviceFFV1Encoder:
     def _render_jit(self, f, c, v, S, steps, buf_cap, fast):
         # f/c/v are (steps, lanes); true slice rows are the leading S
         if fast and steps < (1 << 20):
+            if (jax.default_backend() == "tpu" and self.use_pallas
+                    and steps % 512 == 0):
+                from .render_pallas import render_bytes_pallas
+                return render_bytes_pallas(f.T[:S], c.T[:S], v.T[:S],
+                                           buf_cap)
             return render_bytes_fast(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         by, ln = render_bytes(f.T[:S], c.T[:S], v.T[:S], buf_cap)
         return by, ln, jnp.zeros((), jnp.int32)
@@ -1290,6 +1502,8 @@ class DeviceFFV1Encoder:
         keyframe = (gop == 0 or self.picture_number % gop == 0)
         if force_keyframe is not None:
             keyframe = bool(force_keyframe)
+        if self.golomb:
+            return self._encode_rice(planes, keyframe)
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         canon0 = self.canonical
         for _ in range(8):

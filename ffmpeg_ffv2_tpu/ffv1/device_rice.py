@@ -119,24 +119,31 @@ def ladder_step(i, count):
     return j, ones, rem
 
 
-def run_index_scan(ev_count, ev_flush, ev_valid):
+def run_index_scan(ev_count, ev_flush, ev_valid, ev_reset=None):
     """Sequential run_index evolution over compacted event streams.
 
-    ev_*: (L, E) per-lane event arrays (lane = (slice, plane), E =
-    event capacity; invalid tail entries have ev_valid False).  Returns
-    (idx_before (L, E) i32, overflowed is NOT detected here — caller
-    compares true event counts against E).
+    ev_*: (L, E) per-lane event arrays (lane = slice when events from
+    all planes share the lane — ev_reset marks each plane's first event
+    and zeroes the index there, mirroring encode_plane's per-plane
+    ``ss.run_index = 0``; E = event capacity; invalid tail entries have
+    ev_valid False).  Returns idx_before (L, E) i32 — the post-reset
+    index each event climbs from (overflow is NOT detected here —
+    caller compares true event counts against E).
     """
+    if ev_reset is None:
+        ev_reset = jnp.zeros(ev_count.shape, bool)
+
     def step(i, xs):
-        c, fl, va = xs
-        j, _, _ = ladder_step(i, c)
+        c, fl, va, rs = xs
+        i_in = jnp.where(rs, 0, i)
+        j, _, _ = ladder_step(i_in, c)
         nxt = jnp.where(fl, j, jnp.maximum(j - 1, 0))
         nxt = jnp.where(va, nxt, i)
-        return nxt, i
+        return nxt, jnp.where(va, i_in, i)
 
     i0 = jnp.zeros(ev_count.shape[0], jnp.int32)
     _, idx_before = jax.lax.scan(
-        step, i0, (ev_count.T, ev_flush.T, ev_valid.T))
+        step, i0, (ev_count.T, ev_flush.T, ev_valid.T, ev_reset.T))
     return idx_before.T
 
 
@@ -193,7 +200,8 @@ def vlc_adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
     silent, bit 13 valid; s0_blocks: (TILES_CAP, 5, 128) int32 —
     4 state rows (drift, error_sum, bias, count) + row 4 continuation
     flag.  Returns (code_cells (CELLROWS, 128) int32 packed
-    (len << 16 | val), end_states (TILES_CAP, 4, 128)).
+    (len << 18 | val) — val reaches 17 bits when k = 16 —
+    end_states (TILES_CAP, 4, 128)).
     """
     cellrows = ch1_cells.shape[0]
     i32 = jnp.int32
@@ -233,7 +241,7 @@ def vlc_adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
         nd, ne, nb, nc = vlc_update(drift, es, bias, count, v)
         s = jnp.where(live,
                       jnp.stack([nd, ne, nb, nc]), s)
-        out = jnp.where(live, (length << 16) | val, 0)
+        out = jnp.where(live, (length << 18) | val, 0)
         return (s, cur_tile, carrybuf), out
 
     s_init = jnp.broadcast_to(
@@ -303,3 +311,114 @@ def assemble_bits(lens, vals, nwords: int):
     sh8 = jnp.asarray([24, 16, 8, 0], jnp.uint32)
     by = (words[:, :, None] >> sh8[None, None, :]) & 0xFF
     return by.reshape(S, nwords * 4).astype(jnp.uint8), nbits
+
+
+# ---------------------------------------------------------------------------
+# stream building + element assembly (the glue between the planned runs,
+# the vlc walk output, and assemble_bits)
+# ---------------------------------------------------------------------------
+
+def build_rice_streams(ctx_planes, diff_planes):
+    """Per-plane (S, h, w) |context| / folded-diff grids -> stream-order
+    (S, npix) arrays for the rice pipeline.
+
+    Returns dict: payload ((diff_adj+2048) | silent<<12, the vlc-walk
+    cell word before the layout adds the valid flag), lad (bool, pixel
+    carries a ladder event — run end or line flush), cnt (the ladder
+    count), flush (bool), plane (plane index per stream pos).
+    """
+    i32 = jnp.int32
+    pays, lads, cnts, flushes, planes = [], [], [], [], []
+    for li, (ctx, diff) in enumerate(zip(ctx_planes, diff_planes)):
+        pr = plan_runs_plane(ctx, diff)
+        S = diff.shape[0]
+        pay = (((pr["diff_adj"] + 2048) & 0xFFF)
+               | (pr["silent"].astype(i32) << 12))
+        lad = pr["event"] | pr["flush"]
+        cnt = jnp.where(pr["flush"], pr["flush_count"], pr["run_count"])
+        pays.append(pay.reshape(S, -1))
+        lads.append(lad.reshape(S, -1))
+        cnts.append(cnt.reshape(S, -1))
+        flushes.append(pr["flush"].reshape(S, -1))
+        planes.append(jnp.full(pay.reshape(S, -1).shape, li, i32))
+    return dict(payload=jnp.concatenate(pays, axis=1),
+                lad=jnp.concatenate(lads, axis=1),
+                cnt=jnp.concatenate(cnts, axis=1),
+                flush=jnp.concatenate(flushes, axis=1),
+                plane=jnp.concatenate(planes, axis=1))
+
+
+def ladder_fields(streams, ev_cap: int):
+    """Run the sequential run_index chain and deliver per-pixel ladder
+    fields back to stream order.
+
+    Returns (ones (S, npix), term_j (S, npix; post-climb ladder index
+    for the terminator length), rem (S, npix; the post-climb count),
+    n_lad (S,) true ladder-event counts for the ev_cap overflow check).
+    Events compact per slice via one batched 3-operand sort (events of
+    all planes share the lane; per-plane run_index resets ride a
+    "first event of this plane" flag).
+    """
+    i32 = jnp.int32
+    lad, cnt = streams["lad"], streams["cnt"]
+    flush, plane = streams["flush"], streams["plane"]
+    S, npix = lad.shape
+    drop = I32MAX
+    pos = jnp.arange(npix, dtype=i32)[None, :]
+    key = jnp.where(lad, pos, drop)
+    meta = (plane << 24) | (flush.astype(i32) << 23) | pos
+    skey, scnt, smeta = jax.lax.sort(
+        (key, cnt, meta), num_keys=1, dimension=1)
+    skey = skey[:, :ev_cap]
+    scnt = scnt[:, :ev_cap]
+    smeta = smeta[:, :ev_cap]
+    valid = skey != drop
+    spl = smeta >> 24
+    prev_pl = jnp.concatenate(
+        [jnp.full((S, 1), -1, i32), spl[:, :-1]], axis=1)
+    reset = valid & (spl != prev_pl)
+    sflush = ((smeta >> 23) & 1) == 1
+    i_before = run_index_scan(scnt, sflush, valid, reset)
+    j, ones, rem = ladder_step(i_before, scnt)
+    # deliver back to stream positions (tiny scatters: E updates)
+    sorig = smeta & 0x7FFFFF
+    flat = (jnp.arange(S, dtype=i32)[:, None] * npix
+            + jnp.where(valid, sorig, 0))
+    flat = jnp.where(valid, flat, drop)
+
+    def put(v):
+        return jnp.zeros(S * npix, i32).at[flat.reshape(-1)].set(
+            v.reshape(-1), mode="drop",
+            unique_indices=True).reshape(S, npix)
+
+    return put(ones), put(j), put(rem), jnp.sum(lad, axis=1)
+
+
+def rice_elements(streams, vlc_codes, ones, term_j, rem):
+    """Per-pixel bit elements in stream order -> (lens, vals) (S, 3*npix).
+
+    Slot order per pixel: [run climbs / line-flush bits][run terminator]
+    [vlc code] — encode_line emission order (codec_py.py:132-170).
+    vlc_codes: (S, npix) packed (len << 18 | val) from the vlc walk
+    (0 for silent pixels).
+    """
+    i32 = jnp.int32
+    lad, flush = streams["lad"], streams["flush"]
+    event = lad & ~flush
+    S, npix = lad.shape
+    L2R = jnp.asarray(LOG2_RUN_T)
+    # slot 0: event climbs = `ones` 1-bits; flush = ones 1-bits plus a
+    # single 1 when a partial count remains (codec_py.py:163-169)
+    l0 = jnp.where(event, ones,
+                   jnp.where(flush, ones + (rem > 0).astype(i32), 0))
+    v0 = (1 << jnp.maximum(l0, 0)) - 1
+    # slot 1: run terminator [0][rem in LOG2_RUN[j] bits]
+    lj = jnp.take(L2R, jnp.clip(term_j, 0, 40))
+    l1 = jnp.where(event, 1 + lj, 0)
+    v1 = jnp.where(event, rem, 0)
+    # slot 2: vlc code (events and non-run pixels; 0 len for silent)
+    l2 = vlc_codes >> 18
+    v2 = vlc_codes & ((1 << 18) - 1)
+    lens = jnp.stack([l0, l1, l2], axis=2).reshape(S, 3 * npix)
+    vals = jnp.stack([v0, v1, v2], axis=2).reshape(S, 3 * npix)
+    return lens, vals

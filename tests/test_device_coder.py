@@ -421,3 +421,30 @@ def test_place_sorted_pallas_interpret():
         e2[dest[ok]] = ch2[ok]
         assert np.array_equal(np.asarray(o1).ravel(), e1), f"t{trial} ch1"
         assert np.array_equal(np.asarray(o2).ravel(), e2), f"t{trial} ch2"
+
+
+def test_render_pallas_interpret_matches_fast():
+    """Streaming render kernels (interpret) == render_bytes_fast."""
+    import jax.numpy as jnp
+    from ffmpeg_ffv2_tpu.ffv1.render_pallas import render_bytes_pallas
+    rng = np.random.RandomState(17)
+    S, steps, buf_cap = 3, 8192, 8192
+    for trial, p_emit in enumerate([0.3, 0.9, 0.05]):
+        emit = rng.rand(S, steps) < p_emit
+        emit[:, steps - 1] = True
+        first = np.where(emit, rng.randint(0, 256, (S, steps)), -1)
+        fcount = np.where(emit, rng.randint(0, 5, (S, steps)), 0)
+        fcount[0, np.nonzero(emit[0])[0][0]] = 900      # long fill run
+        fval = np.where(rng.rand(S, steps) < 0.5, 0xFF, 0)
+        args = [jnp.asarray(a, jnp.int32) for a in (first, fcount, fval)]
+        bp, tp, fp = render_bytes_pallas(*args, buf_cap, interpret=True)
+        bf, tf, ff = dc.render_bytes_fast(*args, buf_cap)
+        assert np.array_equal(np.asarray(tp), np.asarray(tf)), f"t{trial}"
+        assert int(fp) == int(ff)
+        a, b = np.asarray(bp), np.asarray(bf)
+        for s in range(S):
+            n = int(np.asarray(tf)[s])
+            if n > buf_cap:
+                continue
+            ne = np.nonzero(a[s][:n] != b[s][:n])[0]
+            assert ne.size == 0, f"t{trial} s{s}: first diff {ne[:5]}"

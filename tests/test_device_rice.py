@@ -177,3 +177,41 @@ def test_assemble_bits_matches_bitwriter():
         ref = pb.flush()
         assert int(nbits[s]) == int(lens[s].sum())
         assert bytes(by[s, :len(ref)]) == ref
+
+
+@pytest.mark.parametrize("pix,wh", [
+    ("yuv420p", (64, 48)),
+    ("gray", (48, 32)),
+])
+def test_device_rice_encoder_byte_exact(pix, wh):
+    """Full device golomb-rice pipeline == native packets."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    rng = np.random.default_rng(13)
+    w, h = wh
+    cfg = FFV1Config(level=3, coder=0, slices=4)
+    p = params_from_config(cfg, pix, w, h)
+    dev = DeviceFFV1Encoder(w, h, pix, cfg, use_pallas=False)
+    nat = NativeFFV1Codec(p)
+    mx = (1 << p.bits) - 1
+    shapes = [(h, w)]
+    if p.chroma_planes:
+        shapes += [(h >> p.chroma_v_shift, w >> p.chroma_h_shift)] * 2
+    for t in range(4):
+        if t == 1:
+            planes = [np.full(s, 42, np.int64) for s in shapes]
+        elif t == 2:
+            # long zero runs: constant rows with sparse impulses
+            planes = []
+            for s in shapes:
+                pl = np.full(s, 17, np.int64)
+                pl[:: max(1, s[0] // 3)] = 99
+                planes.append(pl)
+        else:
+            planes = [rng.integers(0, mx + 1, s).astype(np.int64)
+                      for s in shapes]
+        a = dev.encode(planes, force_keyframe=(t == 0))
+        b = nat.encode([pl.astype(np.int64) for pl in planes],
+                       keyframe=(t == 0))
+        assert a == b, f"frame {t}: {len(a)} vs {len(b)} bytes"
