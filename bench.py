@@ -135,32 +135,36 @@ def main():
         caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap,
                 dev.sortrows_cap)                             # gate-adapted
         rcap = dev.render_cap
+        uw = dev.unsort_words                                 # gate-adapted
 
         def frame_step(t, canon):
             opw, n_ops, canon, sizes = dev._pipeline(
-                planes_dev[t], canon, gop(t), caps)
+                planes_dev[t], canon, gop(t), caps, uw)
             by, ln, fcm = dev._code_render(opw, ev_use, rcap)
             probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
                      + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
-            return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm
+            return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm, \
+                sizes[-1]
 
-        canon, probe, nmax, lmax, fcm = frame_step(0, canon)  # compile keys
-        canon, probe, nmax, lmax, fcm = frame_step(1, canon)
+        canon, probe, nmax, lmax, fcm, mc = frame_step(0, canon)
+        canon, probe, nmax, lmax, fcm, mc = frame_step(1, canon)
         float(probe)
         t0 = time.perf_counter()
         probes = []
         for t in range(n_frames):
-            canon, probe, nmax, lmax, fcm = frame_step(t, canon)
-            probes.append((probe, nmax, lmax, fcm))
-        tot = float(sum(pr for pr, _, _, _ in probes))    # one sync at end
+            canon, probe, nmax, lmax, fcm, mc = frame_step(t, canon)
+            probes.append((probe, nmax, lmax, fcm, mc))
+        tot = float(sum(pr for pr, _, _, _, _ in probes))  # one sync at end
         dt = time.perf_counter() - t0
-        assert all(float(nm) <= ev_use for _, nm, _, _ in probes), \
+        assert all(float(nm) <= ev_use for _, nm, _, _, _ in probes), \
             "device pipeline op-stream overflow (raise EV bound)"
-        assert all(float(lm) <= rcap for _, _, lm, _ in probes), \
+        assert all(float(lm) <= rcap for _, _, lm, _, _ in probes), \
             "device render buffer overflow (raise render_cap)"
+        assert all(float(m) <= 4 * uw for _, _, _, _, m in probes), \
+            "device unsort payload width overflow; bench path invalid"
         # fast-render validity: encode() re-renders when a fill run
         # overflows the 10-bit field; the bench must not time garbage
-        assert all(float(fc) <= 1023 for _, _, _, fc in probes), \
+        assert all(float(fc) <= 1023 for _, _, _, fc, _ in probes), \
             "fast-render fill-run overflow; bench path invalid"
         assert np.isfinite(tot)
         mp = n_frames * w * h / dt / 1e6

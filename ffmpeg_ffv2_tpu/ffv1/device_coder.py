@@ -214,7 +214,8 @@ def emission_source(diff, k_max: int):
     return word, shift
 
 
-def repack_emission_order(sv_words, diff, code_bits: int):
+def repack_emission_order(sv_words, diff, code_bits: int,
+                          n_words: int | None = None):
     """Slot-packed sv words -> EMISSION-ORDER byte words.
 
     sv_words: (..., W, 128) int32 (W = n_sv_words); diff: (..., 128)
@@ -222,9 +223,17 @@ def repack_emission_order(sv_words, diff, code_bits: int):
     k of a cell's output stream (word k >> 2, byte k & 3) is the sv
     byte its k-th rac op consumes, so downstream indexing needs only k.
     Shrinks the unsort payload (8 -> 5 words at 8 bit, 11 -> 9 at 16)
-    and deletes the expand kernel's slot->word mapping."""
+    and deletes the expand kernel's slot->word mapping.
+
+    n_words caps Wk below the worst case: the unsort sort's cost is
+    ~linear in its payload width and a frame whose max |diff| < 2^(2w-1)
+    only ever reads bytes < 4w (event_count <= 4w); callers validate
+    max event_count <= 4*n_words from the layout sizes and retry wider
+    on miss (the same contract as every other adaptive cap here)."""
     k_max = k_max_for_bits(code_bits)
     Wk = (k_max + 3) // 4
+    if n_words is not None:
+        Wk = min(Wk, n_words)
     W = sv_words.shape[-2]
     e = exponent(jnp.abs(diff))
     outs = []
@@ -972,6 +981,11 @@ class DeviceFFV1Encoder:
         self.render_cap_max = self.op_cap_max + 16
         self.render_cap = min(self.render_cap_max,
                               -(-(self.npix + 4096) // 4096) * 4096)
+        # adaptive unsort payload width (emission-order words carried
+        # through the cells->stream sort): 2 words = 8 ops covers
+        # |diff| <= 7; grows to the content's true ceil(maxops/4)
+        self.unsort_words = min(2, n_ev_words(self.code_bits))
+        self._shrinks = 2            # cap-tightening budget (see encode)
         self.picture_number = 0
 
     # -- jitted pipeline stages --------------------------------------------
@@ -1085,9 +1099,16 @@ class DeviceFFV1Encoder:
                 jnp.asarray(VLC_INIT)[None, :], vcanon.shape).astype(
                 jnp.int32)
         s0 = build_vlc_s0(plan, vcanon, tiles_cap)
-        code_cells, ends = vlc_adapt_reference(
-            ch1c, plan["tile_caps"], plan["tile_bases"],
-            plan["tile_pred"], s0, tiles_cap, self.p.bits)
+        if jax.default_backend() == "tpu" and self.use_pallas:
+            from .device_rice import vlc_adapt_pallas
+            code_cells, ends = vlc_adapt_pallas(
+                ch1c, plan["tile_caps"], plan["tile_bases"],
+                plan["tile_pred"], s0, tiles_cap,
+                int(ch1c.shape[0]), self.p.bits)
+        else:
+            code_cells, ends = vlc_adapt_reference(
+                ch1c, plan["tile_caps"], plan["tile_bases"],
+                plan["tile_pred"], s0, tiles_cap, self.p.bits)
         vcanon = writeback_vlc(plan, vcanon, ends, tiles_cap)
         psizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
                             plan["n_slots"]])
@@ -1195,18 +1216,22 @@ class DeviceFFV1Encoder:
         self.picture_number += 1
         return b"".join(chunks)
 
-    def _pipeline(self, planes, canonical, keyframe: bool, caps=None):
+    def _pipeline(self, planes, canonical, keyframe: bool, caps=None,
+                  ev_words=None):
         ctx, diff = self._phase_a(planes)
         svp, btp, hlen = self.prefix[keyframe]
         return self.ops_from_streams(ctx, diff, canonical, svp, btp, hlen,
-                                     keyframe, caps)
+                                     keyframe, caps, ev_words)
 
     def ops_from_streams(self, ctx, diff, canonical, svp, btp, hlen,
-                         keyframe: bool, caps=None):
+                         keyframe: bool, caps=None, ev_words=None):
         """Streams -> per-slice packed op words + op counts.
 
         Returns (opw (S, op_cap) int32 [mode:2|bit:1|sv:8], n_ops (S,),
-        canonical, sizes).  Shard-friendly: n_slices is taken from
+        canonical, sizes = [rows, tiles, slots, opmax, maxcount]).
+        ev_words caps the unsort payload width (adaptive; sizes[-1] is
+        the frame's true max ops/pixel for the validity check
+        maxcount <= 4*ev_words).  Shard-friendly: n_slices is taken from
         ctx.shape (the multichip dryrun calls this inside shard_map on
         each device's slice subset; chain rows, the canonical state table
         and the layout are all local to the shard).
@@ -1238,10 +1263,11 @@ class DeviceFFV1Encoder:
 
         sv_words, ch1c, ch2c, canonical, psizes = self._s_front(
             ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap)
-        words_n = self._s_unsort(sv_words, ch1c, ch2c, n_slices,
-                                 sortrows_cap)
+        words_n, maxc = self._s_unsort(sv_words, ch1c, ch2c, n_slices,
+                                       sortrows_cap, ev_words)
         opw, n_ops = self._s_expand(words_n, diff, svp, btp, hlen, op_cap)
-        sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None]])
+        sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None],
+                                 maxc[None]])
         return opw, n_ops, canonical, sizes
 
     # -- pipeline stages ----------------------------------------------------
@@ -1338,18 +1364,21 @@ class DeviceFFV1Encoder:
                             plan["n_slots"]])
         return canonical, psizes
 
-    def _s_unsort(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap):
+    def _s_unsort(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap,
+                  ev_words_cap=None):
         return self._disp(self._s_unsort_jit, self._s_unsort_impl,
-                          sv_words, ch1c, ch2c, n_slices, sortrows_cap)
+                          sv_words, ch1c, ch2c, n_slices, sortrows_cap,
+                          ev_words_cap)
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "n_slices", "sortrows_cap"))
-    def _s_unsort_jit(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap):
+        "self", "n_slices", "sortrows_cap", "ev_words_cap"))
+    def _s_unsort_jit(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap,
+                      ev_words_cap=None):
         return self._s_unsort_impl(sv_words, ch1c, ch2c, n_slices,
-                                   sortrows_cap)
+                                   sortrows_cap, ev_words_cap)
 
     def _s_unsort_impl(self, sv_words, ch1c, ch2c, n_slices,
-                       sortrows_cap):
+                       sortrows_cap, ev_words_cap=None):
         # cells -> stream order: payload sort over the TIGHT cell domain
         # (on this chip XLA pixel-sized gathers run ~10 ns/element while
         # sorts run ~1 ns/element — permutations ride sorts; see
@@ -1366,14 +1395,20 @@ class DeviceFFV1Encoder:
         mask, bias = (0xFFFF, 32768) if wide else (0x1FFF, 2048)
         diff_c = (ch1c[:scap] & mask) - bias
         ev_words = repack_emission_order(sv_words[:scap], diff_c,
-                                         self.code_bits)
-        nw = n_ev_words(self.code_bits)
+                                         self.code_bits, ev_words_cap)
+        nw = ev_words.shape[1]
         words = [ev_words[:, j, :].reshape(scap * 128)
                  for j in range(nw)]
         keys = ch2c[:scap].reshape(scap * 128)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
+        # the frame's true worst-case op count (VALID cells only —
+        # empty cells carry payload 0): the caller checks it against
+        # 4*ev_words_cap and retries wider when the cap was too narrow
+        vbit = 16 if wide else 13
+        maxc = jnp.max(jnp.where((ch1c[:scap] >> vbit) & 1 == 1,
+                                 event_count(diff_c), 0))
         return tuple(w[:n].reshape(n_slices, self.npix)
-                     for w in sorted_ops[1:])
+                     for w in sorted_ops[1:]), maxc
 
     def _s_expand(self, words_n, diff, svp, btp, hlen, op_cap):
         """Per-pixel sv words (stream order) -> packed compacted op
@@ -1506,18 +1541,75 @@ class DeviceFFV1Encoder:
             return self._encode_rice(planes, keyframe)
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         canon0 = self.canonical
+        # On TPU: optimistic single-sync frame — run the WHOLE pipeline
+        # (steps = op_cap, a static shape, so the coder launch needs no
+        # host peek at n_ops) and validate every overflow signal from
+        # ONE host fetch; each extra sync costs a full tunnel RTT
+        # (~28 ms on this rig, dwarfing the 84 ms of device compute).
+        # On CPU (tests): syncs are free and the coder scan is the
+        # dominant cost, so check sizes first and code at the smallest
+        # pow2 step bucket instead.
+        single_sync = jax.default_backend() == "tpu"
         for _ in range(8):
             opw, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
                 (self.tiles_cap, self.cellrows_cap, self.op_cap,
-                 self.sortrows_cap))
-            rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
-            if (rows + 1024 <= self.cellrows_cap
-                    and rows <= self.sortrows_cap
-                    and tiles <= self.tiles_cap
-                    and slots <= self.tiles_cap * 128
-                    and opmax <= self.op_cap):
-                break
+                 self.sortrows_cap), self.unsort_words)
+            if single_sync:
+                steps = int(opw.shape[1])
+                by, ln, fcm = self._code_render(opw, steps,
+                                                self.render_cap)
+                sizes_h = np.asarray(
+                    jnp.concatenate([sizes, ln, fcm[None]]))
+                rows, tiles, slots, opmax, maxc = (
+                    int(v) for v in sizes_h[:5])
+                ln_h = sizes_h[5:5 + p.slice_count]
+                fcm_h = int(sizes_h[-1])
+            else:
+                rows, tiles, slots, opmax, maxc = (
+                    int(v) for v in np.asarray(sizes))
+            ok_caps = (rows + 1024 <= self.cellrows_cap
+                       and rows <= self.sortrows_cap
+                       and tiles <= self.tiles_cap
+                       and slots <= self.tiles_cap * 128
+                       and opmax <= self.op_cap
+                       and maxc <= 4 * self.unsort_words)
+            if ok_caps:
+                # tighten fat working domains to the content's measured
+                # scale (+25% headroom): the single-sync coder/render
+                # always run the full op_cap and the unsort sorts the
+                # full sortrows_cap, so slack is pure wasted time.  At
+                # most twice per session (first frames), so caps settle
+                # instead of oscillating; a later spike regrows them.
+                if self._shrinks > 0:
+                    from .expand_pallas import OP_GRAN
+                    tight_op = -(-(opmax * 5 // 4 + 512)
+                                 // OP_GRAN) * OP_GRAN
+                    tight_sort = rows + max(512, rows // 16)
+                    if (tight_op < self.op_cap
+                            or tight_sort < self.sortrows_cap):
+                        self._shrinks -= 1
+                        self.op_cap = min(self.op_cap, tight_op)
+                        self.sortrows_cap = min(self.sortrows_cap,
+                                                tight_sort)
+                if not single_sync:
+                    steps = 1 << int(np.max(np.asarray(n_ops))
+                                     ).bit_length()
+                    steps = max(512, min(steps, int(opw.shape[1])))
+                    by, ln_h = self._render_retry(opw, steps)
+                    break
+                if fcm_h > 1023:
+                    by, ln, _ = self._code_render(opw, steps,
+                                                  self.render_cap,
+                                                  fast=False)
+                    ln_h = np.asarray(ln)
+                if int(ln_h.max()) <= self.render_cap:
+                    break
+                self.render_cap = min(
+                    self.render_cap_max,
+                    -(-max(int(ln_h.max()) + 4096,
+                           self.render_cap * 2) // 4096) * 4096)
+                continue
             # grow the adaptive working sizes and retrace (rare; the
             # canonical table was not consumed destructively)
             self.tiles_cap = min(self.tiles_max,
@@ -1534,14 +1626,12 @@ class DeviceFFV1Encoder:
                     self.op_cap_max,
                     -(-max(opmax + 512, self.op_cap * 2)
                       // OP_GRAN) * OP_GRAN)
+            if maxc > 4 * self.unsort_words:
+                self.unsort_words = min(n_ev_words(self.code_bits),
+                                        (maxc + 3) // 4)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
-        # arithmetic coding + rendering on device (steps: pow2 bucket ->
-        # jit reuse); the host fetches only packed bytes + lengths
-        steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()
-        steps = max(512, min(steps, int(opw.shape[1])))
-        by, ln_h = self._render_retry(opw, steps)
         by_h = np.asarray(by)
         chunks = []
         for si in range(p.slice_count):
@@ -1596,7 +1686,8 @@ class DeviceFFV1Encoder:
         B = len(frames)
         return self.ops_from_streams(
             ctx, diff, canonical, jnp.tile(svp, (B, 1)),
-            jnp.tile(btp, (B, 1)), jnp.tile(hlen, B), True, caps)
+            jnp.tile(btp, (B, 1)), jnp.tile(hlen, B), True, caps,
+            self.unsort_words)
 
     def encode_batch(self, frames_list) -> list:
         """Encode B intra (key) frames in one fused device program;
@@ -1612,11 +1703,13 @@ class DeviceFFV1Encoder:
             caps = (st["tiles"], st["cellrows"], self.op_cap, st["sort"])
             opw, n_ops, _, sizes = self._pipeline_batch(
                 dev, st["canon"], caps)
-            rows, tiles, slots, opmax = (int(v) for v in np.asarray(sizes))
+            rows, tiles, slots, opmax, maxc = (
+                int(v) for v in np.asarray(sizes))
             if (rows + 1024 <= st["cellrows"] and rows <= st["sort"]
                     and tiles <= st["tiles"]
                     and slots <= st["tiles"] * 128
-                    and opmax <= self.op_cap):
+                    and opmax <= self.op_cap
+                    and maxc <= 4 * self.unsort_words):
                 break
             st["tiles"] = min(st["tiles_max"],
                               max(tiles + 64, st["tiles"] * 2))
@@ -1630,6 +1723,9 @@ class DeviceFFV1Encoder:
                     self.op_cap_max,
                     -(-max(opmax + 512, self.op_cap * 2)
                       // OP_GRAN) * OP_GRAN)
+            if maxc > 4 * self.unsort_words:
+                self.unsort_words = min(n_ev_words(self.code_bits),
+                                        (maxc + 3) // 4)
         else:
             raise RuntimeError("device layout exceeded worst-case caps")
         steps = 1 << int(np.max(np.asarray(n_ops))).bit_length()

@@ -47,6 +47,8 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..coder.golomb import LOG2_RUN
 
@@ -422,3 +424,156 @@ def rice_elements(streams, vlc_codes, ones, term_j, rem):
     lens = jnp.stack([l0, l1, l2], axis=2).reshape(S, 3 * npix)
     vals = jnp.stack([v0, v1, v2], axis=2).reshape(S, 3 * npix)
     return lens, vals
+
+
+# ---------------------------------------------------------------------------
+# VlcState chain walk — pallas kernel (TPU twin of vlc_adapt_reference)
+# ---------------------------------------------------------------------------
+
+VLC_CHUNK = 512
+
+
+def _vlc_kernel(caps_ref, bases_ref, preds_ref,
+                ch1_hbm, s0_ref, carry_alias,
+                code_hbm, carry_hbm,
+                in_scr, out_scr, carry_scr, dma_sems,
+                *, bits: int):
+    """One tile per grid step (adapt_pallas structure, 4-row states).
+
+    Unlike the range walk there is NO table gather: put_vlc_symbol's k
+    has the closed form k = bitlength((error_sum - 1) // count) and the
+    state update is pure arithmetic — every row is vector-only."""
+    i = pl.program_id(0)
+    cap = caps_ref[i]
+    base = bases_ref[i]
+    pred = preds_ref[i]
+
+    @pl.when(cap > 0)
+    def _tile():
+        @pl.when(pred >= 0)
+        def _load_pred():
+            cp = pltpu.make_async_copy(
+                carry_hbm.at[pl.ds(jnp.maximum(pred, 0), 1)],
+                carry_scr, dma_sems.at[0])
+            cp.start()
+            cp.wait()
+
+        s0blk = s0_ref[0]                       # (5, 128)
+        cont = (s0blk[4:5, :] > 0) & (pred >= 0)
+        s_init = jnp.where(cont, carry_scr[0], s0blk[:4, :])
+
+        nchunks = pl.cdiv(cap, VLC_CHUNK)
+
+        def chunk_body(c, s):
+            row0 = base + c * VLC_CHUNK
+            cp_in = pltpu.make_async_copy(
+                ch1_hbm.at[pl.ds(row0, VLC_CHUNK)], in_scr,
+                dma_sems.at[1])
+            cp_in.start()
+            cp_in.wait()
+
+            def step(t, s):
+                row = in_scr[t, :][None, :]           # (1, 128)
+                v0 = (row & 0xFFF) - 2048
+                live = (((row >> 13) & 1) * (1 - ((row >> 12) & 1))
+                        * ((c * VLC_CHUNK + t) < cap).astype(jnp.int32))
+                drift, es, bias, count = (s[0:1], s[1:2], s[2:3], s[3:4])
+                mask = (1 << bits) - 1
+                half = 1 << (bits - 1)
+                d = (v0 - bias) & mask
+                v = d - ((d & half) << 1)
+                # k = smallest k with count << k >= es
+                #   = bitlength((es - 1) // count)
+                q = (es - 1) // jnp.maximum(count, 1)
+                fq = q.astype(jnp.float32)
+                eq = (jax.lax.bitcast_convert_type(fq, jnp.int32)
+                      >> 23) - 127
+                k = jnp.where(q >= 1, eq + 1, 0)
+                sgn = (2 * drift + count) >> 31
+                code = v ^ sgn
+                vv = (code << 1) ^ (code >> 31)
+                e = vv >> k
+                esc = e >= 12
+                length = jnp.where(esc, 12 + bits, e + k + 1)
+                val = jnp.where(esc, vv - 11,
+                                (1 << k) | (vv & ((1 << k) - 1)))
+                out_scr[pl.ds(t, 1)] = jnp.where(
+                    live == 1, (length << 18) | val, 0)
+                # state update (vlc_update)
+                es2 = (es + jnp.abs(v)) & 0xFFFF
+                dr2 = drift + v
+                at128 = count == 128
+                cnt2 = jnp.where(at128, count >> 1, count)
+                dr2 = jnp.where(at128, dr2 >> 1, dr2)
+                es2 = jnp.where(at128, es2 >> 1, es2)
+                cnt2 = cnt2 + 1
+                neg = dr2 <= -cnt2
+                pos = dr2 > 0
+                bs2 = jnp.where(neg, jnp.maximum(bias - 1, -128),
+                                jnp.where(pos, jnp.minimum(bias + 1, 127),
+                                          bias))
+                dr2 = jnp.where(
+                    neg, jnp.maximum(dr2 + cnt2, -cnt2 + 1),
+                    jnp.where(pos, jnp.minimum(dr2 - cnt2, 0), dr2))
+                ns = jnp.concatenate([dr2, es2, bs2, cnt2], axis=0)
+                return jnp.where(live == 1, ns, s)
+
+            def step4(q4, s):
+                for u in range(4):
+                    s = step(q4 * 4 + u, s)
+                return s
+
+            s = jax.lax.fori_loop(0, VLC_CHUNK // 4, step4, s)
+            cp_out = pltpu.make_async_copy(
+                out_scr, code_hbm.at[pl.ds(row0, VLC_CHUNK)],
+                dma_sems.at[2])
+            cp_out.start()
+            cp_out.wait()
+            return s
+
+        s_end = jax.lax.fori_loop(0, nchunks, chunk_body, s_init)
+        carry_scr[0] = s_end
+        cp_c = pltpu.make_async_copy(
+            carry_scr, carry_hbm.at[pl.ds(i, 1)], dma_sems.at[0])
+        cp_c.start()
+        cp_c.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tiles_cap", "cellrows_cap", "bits",
+                                    "interpret"))
+def vlc_adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred,
+                     s0_blocks, tiles_cap: int, cellrows_cap: int,
+                     bits: int, interpret: bool = False):
+    """Same contract as vlc_adapt_reference (code_cells, end_states)."""
+    carry0 = jnp.zeros((tiles_cap, 4, 128), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(tiles_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # ch1 cells
+            pl.BlockSpec((1, 5, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # s0 blocks
+            pl.BlockSpec(memory_space=pl.ANY),            # carry alias
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),            # code cells
+            pl.BlockSpec(memory_space=pl.ANY),            # carry
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((VLC_CHUNK, 128), jnp.int32),
+            pltpu.VMEM((VLC_CHUNK, 128), jnp.int32),
+            pltpu.VMEM((1, 4, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    code, carry = pl.pallas_call(
+        functools.partial(_vlc_kernel, bits=bits),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((tiles_cap, 4, 128), jnp.int32)),
+        input_output_aliases={5: 1},      # carry buffer in == out
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_caps, tile_bases, tile_pred, ch1_cells, s0_blocks, carry0)
+    return code, carry

@@ -110,10 +110,17 @@ def _compact_kernel(w_ref, out_hbm, scr, carry, base_ref, sem,
     dn = jnp.concatenate([jnp.zeros((1, 128), jnp.int32), rolled], axis=0)
     shifted = jnp.where(lane >= a, up, dn)
     row0 = jnp.where(lane[0:1] < a, carry[...], shifted[0:1])
-    scr[...] = jnp.concatenate([row0, shifted[1:]], axis=0)
-    out_rows = jnp.minimum(base >> 7, ev_rows - (R + 1))
+    # scr carries R+8 rows: the DMA engine requires the copied sublane
+    # count to be a multiple of 8 (a 33-row VMEM->HBM copy hard-faults
+    # the chip -- measured, any offset); the 7 pad rows land beyond the
+    # spliced tail and every row inside the final valid prefix is
+    # rewritten by a later chunk's valid window (rows advance <= R per
+    # chunk, so valid windows tile without holes)
+    scr[...] = jnp.concatenate(
+        [row0, shifted[1:], jnp.zeros((7, 128), jnp.int32)], axis=0)
+    out_rows = jnp.minimum(base >> 7, ev_rows - (R + 8))
     cp = pltpu.make_async_copy(
-        scr, out_hbm.at[s, pl.ds(out_rows, R + 1)], sem)
+        scr, out_hbm.at[s, pl.ds(out_rows, R + 8)], sem)
     cp.start()
     nbase = base + n_c
     # new carry = the partial row at nbase >> 7 (content written above)
@@ -132,7 +139,7 @@ def compact_staged_pallas(w, rows: int, ev_rows: int,
     with each slice's emitting words compacted to a dense prefix
     (tail rows undefined — mask with the event counts)."""
     S, srows, _ = w.shape
-    assert srows % rows == 0 and ev_rows >= srows + rows + 1
+    assert srows % rows == 0 and ev_rows >= srows + rows + 8
     grid = (S, srows // rows)
     out = pl.pallas_call(
         functools.partial(_compact_kernel, rows=rows, ev_rows=ev_rows),
@@ -142,7 +149,7 @@ def compact_staged_pallas(w, rows: int, ev_rows: int,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((S, ev_rows, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((rows + 1, 128), jnp.int32),
+            pltpu.VMEM((rows + 8, 128), jnp.int32),
             pltpu.VMEM((1, 128), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -171,7 +178,12 @@ def _place_bytes_kernel(tot_ref, win_hbm, out_ref, scr, ptr_ref, sem,
     @pl.when(j0c < total)
     def _chunk():
         ptr0 = ptr_ref[0]
-        pb = ptr0 >> 7
+        # clamp: on an overflowed op stream (opmax > op_cap, caught by
+        # the caller's size check AFTER this optimistic render) the
+        # event window may carry garbage offsets; an unclamped ptr
+        # would DMA past win_hbm and wedge the whole device.  Valid
+        # streams never reach the clamp (ptr/128 <= ev_rows < nblk).
+        pb = jnp.minimum(ptr0 >> 7, nblk)
         cps = [pltpu.make_async_copy(
             win_hbm.at[ch, pl.ds(s * nblk + pb, WBLK)],
             scr.at[ch], sem.at[ch]) for ch in range(2)]
@@ -268,7 +280,7 @@ def render_bytes_pallas(first, fcount, fval, buf_cap: int,
                   | ((fval & 1) << 8) | (first & 0xFF), 0)
 
     rows = min(CHUNK_ROWS, steps // 128)
-    ev_rows = steps // 128 + rows + 2
+    ev_rows = steps // 128 + rows + 8
     dense = compact_staged_pallas(w.reshape(S, steps // 128, 128),
                                   rows, ev_rows, interpret=interpret)
     dense = dense.reshape(S, ev_rows * 128)

@@ -215,3 +215,40 @@ def test_device_rice_encoder_byte_exact(pix, wh):
         b = nat.encode([pl.astype(np.int64) for pl in planes],
                        keyframe=(t == 0))
         assert a == b, f"frame {t}: {len(a)} vs {len(b)} bytes"
+
+
+def test_vlc_pallas_interpret_matches_reference():
+    """Pallas vlc walk (interpret) == XLA reference walk on a real plan."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.device_rice import (
+        build_vlc_s0, vlc_adapt_reference, vlc_adapt_pallas)
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config
+    rng = np.random.default_rng(23)
+    w, h = 48, 32
+    cfg = FFV1Config(level=3, coder=0, slices=4)
+    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
+    planes = [rng.integers(0, 256, (h, w)).astype(np.int64),
+              rng.integers(0, 256, (h//2, w//2)).astype(np.int64),
+              rng.integers(0, 256, (h//2, w//2)).astype(np.int64)]
+    dv = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
+    ctx, streams = dev._phase_a_rice(dv)
+    plan = dev._s_rice_layout(ctx, streams["payload"], dev.tiles_cap,
+                              dev.cellrows_cap)
+    ch1c, ch2c = dev._s_scatter(plan, dev.cellrows_cap)
+    s0 = build_vlc_s0(plan, dev.vcanon.astype(jnp.int32), dev.tiles_cap)
+    ref_code, ref_ends = vlc_adapt_reference(
+        ch1c, plan["tile_caps"], plan["tile_bases"], plan["tile_pred"],
+        s0, dev.tiles_cap, dev.p.bits)
+    got_code, got_ends = vlc_adapt_pallas(
+        ch1c, plan["tile_caps"], plan["tile_bases"], plan["tile_pred"],
+        s0, dev.tiles_cap, int(ch1c.shape[0]), dev.p.bits,
+        interpret=True)
+    nrows = int(np.asarray(plan["n_rows"]))
+    a = np.asarray(got_code)[:nrows]
+    b = np.asarray(ref_code)[:nrows]
+    ne = np.nonzero(a != b)
+    assert ne[0].size == 0, f"{ne[0].size} code mismatches at {ne[0][:5]}"
+    # end states: compare only live tiles
+    nt = int(np.asarray(plan["n_tiles"]))
+    assert np.array_equal(np.asarray(got_ends)[:nt],
+                          np.asarray(ref_ends)[:nt])

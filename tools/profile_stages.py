@@ -88,8 +88,9 @@ def main():
                            ch1c, plan, s0, tiles_cap, cellrows_cap)
     canon2, psizes = timed("writeback", lambda *a: dev._s_wb(*a),
                            plan, canonk, ends, tiles_cap)
-    words_n = timed("unsort", lambda *a: dev._s_unsort(*a),
-                    sv_words, ch1c, ch2c, slices, sortrows_cap)
+    uw = int(os.environ.get("PROF_UNSORT_WORDS", "0")) or None
+    words_n, _ = timed("unsort", lambda *a: dev._s_unsort(*a),
+                       sv_words, ch1c, ch2c, slices, sortrows_cap, uw)
     win, totals, n_ops = timed(
         "window", lambda *a: dev._s_window_jit(*a),
         words_n, diff, svp, btp, hlen, op_cap)
