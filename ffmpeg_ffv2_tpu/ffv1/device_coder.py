@@ -296,14 +296,22 @@ class RecordingRangeEncoder(RangeEncoder):
 def plan_slice_prefix(p: FFV1Params, ss: SliceState, si: int, rect,
                       keyframe: bool) -> tuple[np.ndarray, np.ndarray]:
     """(sv, bit) ops preceding the plane data in slice si's rac stream:
-    the keyframe bit for slice 0 (ffv1enc.c:1203-1211) and the slice
-    header (encode_slice_header, ffv1enc.c:930-961)."""
+    the keyframe bit for slice 0 (ffv1enc.c:1203-1211), the in-band
+    v0/v1 keyframe header (write_header), and the v3+ slice header
+    (encode_slice_header, ffv1enc.c:930-961).
+
+    Table-order contract (mirrors FFV1Encoder.encode): the keyframe bit
+    and the v0/v1 header are recorded with the DEFAULT transition
+    tables — the custom table only applies from the slice header on
+    (the reference installs it after write_header)."""
     c = RecordingRangeEncoder()
-    if p.ac == CODER_RANGE_CUSTOM:
-        c.set_state_tables(p.state_transition)
     if si == 0:
         key_state = np.array([128], dtype=np.uint8)
         c.put(key_state, 0, 1 if keyframe else 0)
+        if keyframe and p.version < 2:
+            H.write_v01_header(c, p)
+    if p.ac == CODER_RANGE_CUSTOM:
+        c.set_state_tables(p.state_transition)
     if p.version > 2:
         H.write_slice_header(c, p, ss, rect)
     return (np.array(c.ops_sv, dtype=np.uint8),
@@ -829,11 +837,27 @@ class DeviceFFV1Encoder:
     """
 
     def __init__(self, width: int, height: int, pix_fmt: str,
-                 config: FFV1Config | None = None, use_pallas: bool = True):
+                 config: FFV1Config | None = None, use_pallas: bool = True,
+                 params: FFV1Params | None = None):
+        """params overrides the config-derived FFV1Params — the 2-pass
+        flow (twopass.apply_pass2) hands a params object carrying the
+        sorted state-transition table and per-context initial states
+        (ffv1enc.c:793-873); both flow into the packed transition table
+        and the keyframe canonical below."""
         self.cfg = config or FFV1Config()
-        p = self.p = params_from_config(self.cfg, pix_fmt, width, height)
-        if p.version != 3:
-            raise NotImplementedError("device coder: version 3 only")
+        if params is not None:
+            p = self.p = params
+        else:
+            p = self.p = params_from_config(self.cfg, pix_fmt, width,
+                                            height)
+        if p.version == 2:
+            raise NotImplementedError(
+                "device coder: versions 0/1/3/4 (v2's in-band slice "
+                "table is a deprecated transitional layout)")
+        if p.version > 3 and p.colorspace == 1:
+            raise NotImplementedError(
+                "device coder: v4 RGB needs the per-slice RCT search "
+                "in the slice header (host/hybrid paths cover it)")
         self.golomb = p.ac == CODER_GOLOMB
         if self.golomb and p.colorspace != 0:
             raise NotImplementedError("device rice: YUV/gray only")
@@ -848,8 +872,9 @@ class DeviceFFV1Encoder:
             raise NotImplementedError("device coder: coding depth <= 16")
         if p.colorspace == 1 and p.use32bit:
             raise NotImplementedError("device coder: RGB <= 14 bpc")
-        if p.initial_states is not None:
-            raise NotImplementedError("device coder: custom initial states")
+        if p.initial_states is not None and self.golomb:
+            raise NotImplementedError("initial states are a range-coder "
+                                      "feature")
         self.use_pallas = use_pallas
         self.k_max = k_max_for_bits(self.code_bits)
 
@@ -916,9 +941,24 @@ class DeviceFFV1Encoder:
                                 n // 128 * 9 // 8 + 1024)
 
         self.table = packed_transition_table(p)
-        self.canonical = jnp.full((self.n_chain_rows + 1, 32), 128,
-                                  jnp.uint8)
-        self.extradata = H.write_extradata(p)
+        # keyframe canonical: 128 everywhere, or the 2-pass per-context
+        # initial states (ff_ffv1_clear_slice_state, ffv1.c:70-84)
+        ck = np.full((self.rows_per_slice, 32), 128, np.uint8)
+        if p.initial_states is not None:
+            off = 0
+            ssk = SliceState(p)
+            for i in range(p.plane_count):
+                cnt = int(self.class_counts[i])
+                init = p.initial_states[ssk.plane_qt_index[i]]
+                if init is not None:
+                    ck[off:off + cnt] = np.asarray(init, np.uint8)[:cnt]
+                off += cnt
+        full = np.full((self.n_chain_rows + 1, 32), 128, np.uint8)
+        full[:self.n_chain_rows] = np.tile(ck, (p.slice_count, 1))
+        self._canonical_key1 = ck                 # one slice's worth
+        self.canonical_key = jnp.asarray(full)
+        self.canonical = self.canonical_key
+        self.extradata = (H.write_extradata(p) if p.version > 1 else b"")
 
         # host-planned per-slice prefixes (constant per keyframe flag)
         rects = p.rects()
@@ -955,8 +995,12 @@ class DeviceFFV1Encoder:
                     if si == 0:
                         key_state = np.array([128], dtype=np.uint8)
                         c.put(key_state, 0, 1 if key else 0)
-                    H.write_slice_header(c, p, SliceState(p), rects[si])
-                    hdrs.append(c.terminate(1))
+                        if key and p.version < 2:
+                            H.write_v01_header(c, p)
+                    if p.version > 2:
+                        H.write_slice_header(c, p, SliceState(p),
+                                             rects[si])
+                    hdrs.append(c.terminate(1 if p.version > 2 else 0))
                 self.rice_headers[key] = hdrs
             # adaptive ladder-event and bitstream-word capacities
             nlines = sum(prects[0][3] for prects in self.crop_plan)
@@ -1288,7 +1332,14 @@ class DeviceFFV1Encoder:
         plan = self._s_layout(ctx, diff, tiles_cap, cellrows_cap)
         ch1c, ch2c = self._s_scatter(plan, cellrows_cap)
         if keyframe:
-            canonical = jnp.full_like(canonical, 128)
+            if self.p.initial_states is None:
+                canonical = jnp.full_like(canonical, 128)
+            else:
+                reps = (canonical.shape[0] - 1) // self.rows_per_slice
+                canonical = jnp.concatenate(
+                    [jnp.tile(jnp.asarray(self._canonical_key1),
+                              (reps, 1)),
+                     jnp.full((1, 32), 128, jnp.uint8)], axis=0)
         s0 = self._s_s0(plan, canonical, tiles_cap)
         sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
                                      cellrows_cap)

@@ -448,3 +448,33 @@ def test_render_pallas_interpret_matches_fast():
                 continue
             ne = np.nonzero(a[s][:n] != b[s][:n])[0]
             assert ne.size == 0, f"t{trial} s{s}: first diff {ne[:5]}"
+
+
+@pytest.mark.parametrize("level,coder,slices", [
+    (0, 0, 1),          # v0 golomb (the FATE -level 0 config)
+    (0, 2, 1),          # v0 range with the custom (ver2) table
+    (1, 2, 1),          # v1 range (adds in-band bits field)
+    (4, 1, 4),          # v4 range, per-slice headers + coding-mode field
+    (4, 0, 4),          # v4 golomb
+])
+def test_device_encoder_versions_byte_exact(level, coder, slices):
+    """Device pipeline == native across bitstream versions 0/1/4:
+    in-band v0/v1 keyframe headers (write_header), v4 slice-header
+    fields, golomb v0 termination (ffv1enc.c:1203-1262)."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(23 + level + coder)
+    w, h = 64, 48
+    cfg = FFV1Config(level=level, coder=coder, slices=slices,
+                     slicecrc=1 if level >= 3 else 0)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=False)
+    nat = NativeFFV1Codec(p)
+    shapes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    for t in range(3):
+        planes = [rng.randint(0, 256, s).astype(np.int32) for s in shapes]
+        key = t == 0
+        a = dev.encode(planes, force_keyframe=key)
+        b = nat.encode(planes, key)
+        assert a == b, f"v{level} coder={coder} frame {t}: " \
+            f"{len(a)} vs {len(b)} bytes"

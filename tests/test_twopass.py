@@ -97,3 +97,36 @@ def test_twopass_reference_parity(tmp_path):
     enc2 = NativeFFV1Codec(p2)
     for t, (f, refpkt) in enumerate(zip(frames, avi.video.packets)):
         assert enc2.encode(f, t % 12 == 0) == refpkt, f"packet {t}"
+
+
+def test_twopass_pass2_device_byte_exact():
+    """Pass-2 params (custom initial states + sorted transition table)
+    through the DEVICE pipeline: byte-identical to the native encoder
+    (ffv1enc.c:793-873 applied at the keyframe canonical)."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    frames = _frames()[:3]
+    cfg = FFV1Config(slices=4, coder=2, level=3, slicecrc=1)
+    p1 = params_from_config(cfg, "yuv420p", W, H_)
+    enc = NativeFFV1Codec(p1)
+    enc.enable_stats()
+    for t, f in enumerate(frames):
+        enc.encode(f, t == 0)
+    rc, rc2, gob = twopass.collect_stats(enc)
+    txt = twopass.stats_to_text(p1, rc, rc2, gob)
+
+    p2 = twopass.apply_pass2(
+        params_from_config(cfg, "yuv420p", W, H_), txt)
+    p2n = twopass.apply_pass2(
+        params_from_config(cfg, "yuv420p", W, H_), txt)
+    dev = DeviceFFV1Encoder(W, H_, "yuv420p", cfg, use_pallas=False,
+                            params=p2)
+    nat = NativeFFV1Codec(p2n)
+    for t, f in enumerate(frames):
+        a = dev.encode(f, t == 0)        # covers key + inter frames
+        b = nat.encode(f, t == 0)
+        assert a == b, f"frame {t}: {len(a)} vs {len(b)} bytes"
+    # lossless through the extradata-driven decoder
+    dec = NativeFFV1Codec(H.read_extradata(dev.extradata, W, H_))
+    for t, f in enumerate(frames):
+        for x, y in zip(dec.decode(nat.encode(f, t == 0)), f):
+            assert np.array_equal(x, y)
