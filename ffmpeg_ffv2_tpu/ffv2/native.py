@@ -145,7 +145,11 @@ class NativeFFV2Encoder:
         self.planes = self.fmt.nb_planes
         self.lib = _bind(get_lib())
 
-    def encode(self, planes) -> bytes:
+    def encode(self, planes, front_q=None) -> bytes:
+        """front_q optionally replaces the device front
+        (tpu.encode_front_q) with a drop-in — e.g. the mesh-sharded
+        parallel.ffv2.encode_front_q_sharded; same (dc, pulses, igain)
+        contract, so the packet stays byte-identical."""
         qp = self.cfg.qp
         lib = self.lib
         bands = np.asarray(dsp.band_starts(SB), dtype=np.int32)
@@ -173,8 +177,8 @@ class NativeFFV2Encoder:
                 from .tpu import encode_front_q
                 from .pvq import icbrt
                 bands_l = list(dsp.band_starts(SB))
-                dc, pulses, igain = encode_front_q(padded, depth, qp,
-                                                   bands_l)
+                dc, pulses, igain = (front_q or encode_front_q)(
+                    padded, depth, qp, bands_l)
                 cg = np.empty(igain.shape, dtype=np.int32)
                 flat_ig = igain.reshape(-1)
                 flat_cg = cg.reshape(-1)
