@@ -90,19 +90,15 @@ def phase_a_sharded(crops, qt, bits, five, mesh, data_axis=False):
     return fn(crops)
 
 
-def slice_stats_allgather(mesh, diffs):
-    """Per-slice coded-size estimates, all-gathered over the slice axis —
-    the metadata every device needs to place its bitstream shard in the
-    packet (the parallel analogue of the 3-byte size trailer walk)."""
-    spec = P("slice", None, None)
+def gather_slice_bytes(by, ln, axis="slice"):
+    """The bitstream-assembly collective: every device contributes its
+    local slices' padded byte buffers + exact lengths, and receives the
+    full set, so any device (or the host, after one fetch) can lay the
+    3-byte-trailer packet out — the parallel analogue of the reference's
+    sequential slice-trailer walk (ffv1enc.c:1236-1262).
 
-    def body(d):
-        # rough cost proxy: sum of |diff| bit lengths per local slice
-        bits_est = jnp.sum(
-            jnp.ceil(jnp.log2(1.0 + jnp.abs(d.astype(jnp.float32)))),
-            axis=(1, 2))
-        return jax.lax.all_gather(bits_est, "slice", tiled=True)
-
-    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=P(None),
-                   check_rep=False)
-    return fn(diffs)
+    Call from inside a shard_map body whose mesh has ``axis``; this is
+    the collective `__graft_entry__.dryrun_multichip` and the sharded
+    encode paths use (byte-identical assembly asserted there).
+    """
+    return (jax.lax.all_gather(by, axis), jax.lax.all_gather(ln, axis))
