@@ -15,6 +15,7 @@ ffv1enc.c:1291-1307, ffv2enc.c:583).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -22,6 +23,7 @@ import numpy as np
 
 from ..core.pixfmt import get_pix_fmt
 from ..container.avi import AviReader, AviWriter
+from ..utils.metrics import FrameStats, packet_slice_sizes
 from ..utils.psnr import tiny_psnr_line
 
 
@@ -192,10 +194,31 @@ def cmd_encode(args):
         out = AviWriter(w, h, fourcc, (25, 1), extradata)
     gop = args.g if args.c == "ffv1" else 1
     nbytes = 0
+    vstats = open(args.vstats, "w") if args.vstats else None
+    stats = FrameStats() if vstats else None
+    p_enc = getattr(enc, "p", None)         # FFV1Params (slice trailers)
     for t, planes in enumerate(frames):
         pkt = enc.encode(planes)
-        out.write_packet(pkt, keyframe=(gop == 0 or t % gop == 0))
+        key = (gop == 0 or t % gop == 0)
+        out.write_packet(pkt, keyframe=key)
         nbytes += len(pkt)
+        if vstats:
+            slice_sz = None
+            if p_enc is not None and p_enc.version >= 3:
+                regions = packet_slice_sizes(pkt, bool(p_enc.ec),
+                                             p_enc.version)
+                slice_sz = [ln for (_, ln, _) in regions]
+            stats.add_frame(w * h, pkt, key, slice_sz)
+            rec = {"frame": t, "key": int(key), "bytes": len(pkt),
+                   "bpp": round(8 * len(pkt) / (w * h), 4)}
+            if slice_sz is not None:
+                rec["slices"] = slice_sz
+                rec["crc_ok"] = all(ok for (_, _, ok) in regions
+                                    if ok is not None)
+            vstats.write(json.dumps(rec) + "\n")
+    if vstats:
+        vstats.write(json.dumps({"summary": stats.report()}) + "\n")
+        vstats.close()
     out.save(args.output)
     print(f"encoded {len(frames)} frames -> {args.output} "
           f"({nbytes} packet bytes)")
@@ -336,6 +359,10 @@ def main(argv=None):
         p.add_argument("-pass", dest="pass_num", type=int, default=0,
                        choices=[0, 1, 2])
         p.add_argument("-passlogfile", default="ffv1pass")
+        p.add_argument("-vstats", default="", metavar="FILE",
+                       help="write per-frame stats JSONL (bytes, bpp, "
+                            "per-slice sizes from the trailer walk, "
+                            "CRC status) + a summary line")
 
     pe = sub.add_parser("encode")
     add_common_enc(pe)

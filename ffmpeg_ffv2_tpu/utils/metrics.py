@@ -60,10 +60,72 @@ class FrameStats:
             self.slice_bytes.append(list(slice_sizes))
 
     def report(self) -> dict:
-        return {
+        out = {
             "frames": self.frames,
             "keyframes": self.keyframes,
             "bytes_out": self.bytes_out,
             "bits_per_pixel": round(8 * self.bytes_out
                                     / max(self.pixels, 1), 4),
         }
+        if self.slice_bytes:
+            flat = [b for fr in self.slice_bytes for b in fr]
+            mean = sum(flat) / len(flat)
+            out["slice_mean_bytes"] = round(mean, 1)
+            out["slice_max_bytes"] = max(flat)
+            # load imbalance = max/mean over the last frame (the number
+            # a slice-parallel schedule is bound by)
+            last = self.slice_bytes[-1]
+            out["slice_imbalance"] = round(
+                max(last) / max(sum(last) / len(last), 1e-9), 3)
+        return out
+
+
+def packet_slice_sizes(packet: bytes, ec: bool, version: int = 3):
+    """Walk an FFV1 packet's slice-trailer chain (ffv1enc.c:1236-1262:
+    3-byte big-endian size [+ 5-byte CRC region when ec]) back to front.
+
+    Returns [(offset, length_incl_trailer, crc_ok)] front-to-back —
+    per-slice coded sizes for ANY backend's packets (native, device,
+    hybrid), since the trailer layout is normative.  crc_ok is None when
+    ec is off (nothing to check).  version <= 2 packets are one region.
+    """
+    from ..core.crc import crc32_ieee
+    trailer = 3 + (5 if ec else 0)
+    if version < 3:
+        return [(0, len(packet), None)]
+    regions = []
+    end = len(packet)
+    while trailer < end:
+        size = int.from_bytes(packet[end - trailer:end - trailer + 3],
+                              "big")
+        if size + trailer > end:
+            break
+        off, length = end - size - trailer, size + trailer
+        crc_ok = (crc32_ieee(packet[off:off + length]) == 0) if ec \
+            else None
+        regions.append((off, length, crc_ok))
+        end -= size + trailer
+    regions.reverse()
+    return regions
+
+
+def context_occupancy(rc_stat2) -> dict:
+    """Context-model usage from 2-pass stats (rc_stat2[nctx, 32, 2],
+    ffv1/twopass.py): how much of the quantized context space the
+    content actually visits, and how concentrated the symbol mass is —
+    the observable SURVEY §5 asks for (reference analogue: the rc_stat
+    tables ffv1enc.c:793 drives its initial-state search with)."""
+    import numpy as np
+    s = np.asarray(rc_stat2, dtype=np.uint64)
+    per_ctx = s.sum(axis=(1, 2))
+    total = int(per_ctx.sum())
+    used = int((per_ctx > 0).sum())
+    top = np.sort(per_ctx)[::-1]
+    k = max(1, used // 10)
+    return {
+        "contexts": int(s.shape[0]),
+        "contexts_used": used,
+        "occupancy": round(used / max(s.shape[0], 1), 4),
+        "symbols": total,
+        "top10pct_mass": round(float(top[:k].sum()) / max(total, 1), 4),
+    }
