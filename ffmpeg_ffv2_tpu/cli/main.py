@@ -197,8 +197,20 @@ def cmd_encode(args):
     vstats = open(args.vstats, "w") if args.vstats else None
     stats = FrameStats() if vstats else None
     p_enc = getattr(enc, "p", None)         # FFV1Params (slice trailers)
+    pre = None
+    if (args.c == "ffv2" and getattr(args, "workers", 1) > 1
+            and args.backend != "python"):
+        # frame-pipelined Daala EC: frame t's C++ coder overlaps frame
+        # t+1's front on worker threads; packets byte-identical
+        from ..ffv2.native import PipelinedFFV2Encoder
+        pipe = PipelinedFFV2Encoder(w, h, args.pix_fmt, enc.cfg,
+                                    depth=args.workers)
+        try:
+            pre = pipe.encode_stream(frames)
+        finally:
+            pipe.close()
     for t, planes in enumerate(frames):
-        pkt = enc.encode(planes)
+        pkt = pre[t] if pre is not None else enc.encode(planes)
         key = (gop == 0 or t % gop == 0)
         out.write_packet(pkt, keyframe=key)
         nbytes += len(pkt)
@@ -359,6 +371,9 @@ def main(argv=None):
         p.add_argument("-pass", dest="pass_num", type=int, default=0,
                        choices=[0, 1, 2])
         p.add_argument("-passlogfile", default="ffv1pass")
+        p.add_argument("-workers", type=int, default=1,
+                       help="ffv2: frame-pipeline depth (EC on worker "
+                            "threads overlapping the device front)")
         p.add_argument("-vstats", default="", metavar="FILE",
                        help="write per-frame stats JSONL (bytes, bpp, "
                             "per-slice sizes from the trailer walk, "

@@ -87,3 +87,24 @@ def test_native_session_reuse():
 def test_native_decoder_bad_pixfmt():
     with pytest.raises(ValueError):
         NativeFFV2Decoder(32, 32).decode(b"\xff" * 64)
+
+
+def test_pipelined_matches_sequential():
+    """Frame-pipelined EC (VERDICT r2 item 7): byte-identical packets.
+    The EC is a pure function of the staged (dc, cg, pulses), so
+    overlapping frame t's C++ coder with frame t+1's front must not
+    change a single byte."""
+    from ffmpeg_ffv2_tpu.ffv2.native import PipelinedFFV2Encoder
+    w, h = 128, 96
+    cfg = FFV2Config(qp=14)
+    frames = [_planes("yuv444p", w, h, 10 + t) for t in range(4)]
+    seq = NativeFFV2Encoder(w, h, "yuv444p", cfg)
+    pipe = PipelinedFFV2Encoder(w, h, "yuv444p", cfg, depth=3)
+    try:
+        pkts_pipe = pipe.encode_stream(frames)
+        pkts_seq = [seq.encode(f) for f in frames]
+        assert len(pkts_pipe) == len(pkts_seq)
+        for t, (a, b) in enumerate(zip(pkts_pipe, pkts_seq)):
+            assert a == b, f"pipelined packet differs at frame {t}"
+    finally:
+        pipe.close()
