@@ -77,9 +77,15 @@ def main():
 
     w, h = 1920, 1080
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    # "hybrid" (device phase A + host phase B) is retired from the
+    # default set: the full device pipeline now covers every config the
+    # hybrid path was the TPU answer for (rice, 2-pass, v0-v4) except
+    # v4-RGB/rgb48, and measuring it head-to-head at 1080p yuv420p only
+    # restated that it loses to both native and device.  Opt back in
+    # with BENCH_PIPELINES=...,hybrid.
     which = set(os.environ.get(
         "BENCH_PIPELINES",
-        "native,hybrid,device,kernel,decode,4k,ffv2").split(","))
+        "native,device,kernel,decode,4k,ffv2").split(","))
     frames = synth_1080p_frames(n_frames)
     gop = lambda t: t % 12 == 0
 
@@ -296,6 +302,20 @@ def main():
         pkts2 = [enc2.encode(f) for f in fr2]
         mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
         emit("ffv2_512_encode", mp)
+        # frame-pipelined EC: worker-thread Daala coder overlaps the
+        # device front (byte-identical packets — asserted)
+        from ffmpeg_ffv2_tpu.ffv2.native import PipelinedFFV2Encoder
+        pipe = PipelinedFFV2Encoder(wf, hf, "yuv444p", FFV2Config(qp=16),
+                                    depth=2)
+        pk_pipe = pipe.encode_stream(fr2[:1])      # warm
+        assert pk_pipe[0] == pk0, "pipelined ffv2 packet mismatch"
+        t0 = time.perf_counter()
+        pkts_p = pipe.encode_stream(fr2)
+        mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
+        pipe.close()
+        assert pkts_p == pkts2, "pipelined ffv2 stream mismatch"
+        emit("ffv2_512_encode_pipelined", mp)
+
         dec2 = NativeFFV2Decoder(wf, hf)
         dec2.decode(pkts2[0])
         t0 = time.perf_counter()
