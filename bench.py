@@ -6,10 +6,18 @@ Prints ONE JSON line per metric:
 The HEADLINE metric (1080p FFV1 lossless encode, best pipeline, vs the
 500 Mpix/s north star) is printed LAST.
 
-Pipelines measured at equal frame counts, failures loud (no swallowed
-exceptions — a perf harness that can't fail is not a harness):
+Ordering is robustness-first: every host-side metric (native encode,
+decode, 4K, FFV2, the reference-binary head-to-head) is emitted BEFORE
+the TPU device pipeline runs, and the device section executes in a
+child process under a wall-clock budget (BENCH_DEVICE_BUDGET, seconds).
+If the device pipeline's XLA/Mosaic compile exceeds the budget the
+child is killed and a loud zero-valued line with an "error" key is
+emitted instead — the bench never ends the round empty-handed.
+
+Pipelines measured at equal frame counts, failures loud:
   * native        — host C++ slice-threaded encoder (golomb + range)
-  * tpu_hybrid    — device phase A + host phase B
+  * ref_ffmpeg    — the reference binary (.refbuild/ffmpeg), same input,
+                    same slices/threads: the head-to-head baseline
   * tpu_device    — the fully on-device pipeline (phase A, chain-grouped
                     adaptation, op assembly, pallas arithmetic coder),
                     measured device-resident (frames pre-staged, one
@@ -26,7 +34,9 @@ native encoder and decoded losslessly before any timing is reported.
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,15 +44,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE = 500.0     # Mpix/s north star (BASELINE.md)
-LINES = []
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def emit(metric, value, unit="Mpix/s", vs=None):
-    LINES.append(json.dumps({
-        "metric": metric, "value": round(float(value), 3), "unit": unit,
-        "vs_baseline": round(float(value) / BASELINE, 4) if vs is None
-        else round(vs, 4)}))
-    print(LINES[-1], flush=True)
+def emit(metric, value, unit="Mpix/s", vs=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 3), "unit": unit,
+           "vs_baseline": round(float(value) / BASELINE, 4) if vs is None
+           else round(vs, 4)}
+    rec.update(extra)
+    line = json.dumps(rec)
+    print(line, flush=True)
+    return rec
 
 
 def synth_1080p_frames(n, w=1920, h=1080):
@@ -63,162 +75,285 @@ def measure_host(frames, w, h, encode_fn):
     return len(frames) * w * h / (time.perf_counter() - t0) / 1e6
 
 
-def main():
+def bench_native(frames, w, h, gop, results):
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    for name, coder in (("golomb", -1), ("range", 1)):
+        cfg = FFV1Config(slices=30, coder=coder, level=3)
+        nat = NativeFFV1Codec(params_from_config(cfg, "yuv420p", w, h))
+        nat.encode(frames[0], True)
+        mp = measure_host(frames, w, h, lambda f, t: nat.encode(f, gop(t)))
+        emit(f"ffv1_1080p_encode_native_{name}", mp)
+        results[f"native_{name}"] = mp
+
+
+def bench_decode(frames, w, h, gop, n_frames):
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    cfg = FFV1Config(slices=30, coder=1, level=3)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    enc = NativeFFV1Codec(p)
+    pkts = [enc.encode(f, gop(t)) for t, f in enumerate(frames)]
+    dec = NativeFFV1Codec(p)
+    dec.decode(pkts[0])
+    dec2 = NativeFFV1Codec(p)
+    t0 = time.perf_counter()
+    for pk in pkts:
+        dec2.decode(pk)
+    mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
+    emit("ffv1_1080p_decode_native", mp)
+
+    from ffmpeg_ffv2_tpu.ffv1.batched import BatchedFFV1Decoder
+    bd = BatchedFFV1Decoder(p)
+    keys = [gop(t) for t in range(n_frames)]
+    bd.decode_all(pkts[:2], keys[:2])
+    t0 = time.perf_counter()
+    bd.decode_all(pkts, keys)
+    mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
+    emit("ffv1_1080p_decode_batched_gop", mp)
+
+
+def bench_4k(n_frames, gop):
+    from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    w4, h4 = 3840, 2160
+    f4 = synth_1080p_frames(max(2, n_frames // 2), w4, h4)
+    cfg = FFV1Config(slices=30, coder=1, level=3)
+    nat4 = NativeFFV1Codec(params_from_config(cfg, "yuv420p", w4, h4))
+    nat4.encode(f4[0], True)
+    mp = measure_host(f4, w4, h4, lambda f, t: nat4.encode(f, gop(t)))
+    emit("ffv1_4k_encode_native", mp)
+
+
+def bench_ref_binary(frames, w, h, n_frames, results):
+    """Head-to-head vs the reference ffmpeg binary on this host: same
+    synthetic input over a rawvideo file, -slices 30 -coder range,
+    -threads 1 (this rig exposes one vCPU), gop 12 like our runs.
+    Wall-clock includes the binary's own startup — reported as-is."""
+    ref = os.environ.get("REF_FFMPEG", os.path.join(REPO, ".refbuild",
+                                                    "ffmpeg"))
+    if not os.path.exists(ref):
+        emit("ref_ffmpeg_1080p_encode", 0.0, vs=0.0,
+             error="reference binary not built")
+        return
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.yuv")
+        with open(src, "wb") as f:
+            for fr in frames:
+                f.write(np.asarray(fr[0], np.uint8).tobytes())
+                f.write(np.asarray(fr[1], np.uint8).tobytes())
+                f.write(np.asarray(fr[2], np.uint8).tobytes())
+        out = os.path.join(td, "ref.avi")
+        for name, coder in (("golomb", "0"), ("range", "1")):
+            cmd = [ref, "-y", "-loglevel", "error", "-threads", "1",
+                   "-f", "rawvideo", "-pix_fmt", "yuv420p",
+                   "-s", f"{w}x{h}", "-i", src, "-c:v", "ffv1",
+                   "-level", "3", "-coder", coder,
+                   "-slices", "30", "-g", "12",
+                   "-flags", "+bitexact", "-fflags", "+bitexact",
+                   "-threads", "1", "-f", "avi", out]
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True)
+            dt = time.perf_counter() - t0
+            mp = n_frames * w * h / dt / 1e6
+            emit(f"ref_ffmpeg_1080p_encode_{name}", mp)
+            results["ref_ffmpeg"] = max(results.get("ref_ffmpeg", 0), mp)
+
+        dec_out = os.path.join(td, "dec.yuv")
+        cmd = [ref, "-y", "-loglevel", "error", "-threads", "1",
+               "-i", out, "-f", "rawvideo", dec_out]
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True)
+        dt = time.perf_counter() - t0
+        emit("ref_ffmpeg_1080p_decode", n_frames * w * h / dt / 1e6)
+
+
+def bench_ffv2(n_frames):
+    from ffmpeg_ffv2_tpu.ffv2.native import (NativeFFV2Encoder,
+                                             NativeFFV2Decoder,
+                                             PipelinedFFV2Encoder)
+    from ffmpeg_ffv2_tpu.ffv2.codec import FFV2Config
+    wf, hf = 512, 512
+    yy, xx = np.mgrid[0:hf, 0:wf]
+    fr2 = [[((xx + yy * 2 + 40 * t) % 256).astype(np.int64)
+            for _ in range(3)] for t in range(4)]
+    enc2 = NativeFFV2Encoder(wf, hf, "yuv444p", FFV2Config(qp=16))
+    pk0 = enc2.encode(fr2[0])
+    t0 = time.perf_counter()
+    pkts2 = [enc2.encode(f) for f in fr2]
+    mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
+    emit("ffv2_512_encode", mp)
+    # frame-pipelined EC: worker-thread Daala coder overlaps the
+    # device front (byte-identical packets — asserted)
+    pipe = PipelinedFFV2Encoder(wf, hf, "yuv444p", FFV2Config(qp=16),
+                                depth=2)
+    pk_pipe = pipe.encode_stream(fr2[:1])      # warm
+    assert pk_pipe[0] == pk0, "pipelined ffv2 packet mismatch"
+    t0 = time.perf_counter()
+    pkts_p = pipe.encode_stream(fr2)
+    mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
+    pipe.close()
+    assert pkts_p == pkts2, "pipelined ffv2 stream mismatch"
+    emit("ffv2_512_encode_pipelined", mp)
+
+    dec2 = NativeFFV2Decoder(wf, hf)
+    dec2.decode(pkts2[0])
+    t0 = time.perf_counter()
+    for pk in pkts2:
+        dec2.decode(pk)
+    mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
+    emit("ffv2_512_decode", mp)
+
+    # compute-bound split: device quant is ~free (25 ms incl RTT at
+    # 512^2x3) and the EC below runs on prefetched quant data — the
+    # end-to-end gap vs this number is the dev rig's ~19 MB/s tunnel
+    import ctypes
+    from ffmpeg_ffv2_tpu.ffv2 import dsp as _dsp
+    from ffmpeg_ffv2_tpu.ffv2.native import _pad_px
+    from ffmpeg_ffv2_tpu.ffv2.tpu import encode_front_q
+    from ffmpeg_ffv2_tpu.ffv2.pvq import icbrt
+    lib = enc2.lib
+    bands_l = list(_dsp.band_starts(64))
+    padded = np.stack([_pad_px(np.asarray(p), 8) for p in fr2[0]])
+    dcq, pulses, igain = encode_front_q(padded, 8, 16, bands_l)
+    t0 = time.perf_counter()
+    for _ in range(len(fr2)):
+        cgq = np.vectorize(lambda v: icbrt(int(v)))(igain).astype(np.int32)
+        hq = lib.ffv2rt_enc_create(
+            16, np.asarray(bands_l, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)), len(bands_l))
+        dc64 = np.ascontiguousarray(dcq, np.int64)
+        cgc = np.ascontiguousarray(cgq)
+        pu = np.ascontiguousarray(pulses)
+        lib.ffv2rt_enc_frame_q(
+            hq, dc64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cgc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pu.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            pu.shape[1], igain.shape[1], 64, 3, 64, _dsp.TX_DCT)
+        out = np.empty(1 << 22, np.uint8)
+        lib.ffv2rt_enc_done.restype = ctypes.c_int64
+        lib.ffv2rt_enc_done(hq, out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)), 1 << 22)
+        lib.ffv2rt_enc_destroy(hq)
+    mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
+    emit("ffv2_512_encode_compute", mp)
+
+
+# ---------------------------------------------------------------------------
+# Device section (runs in a budgeted child process; see run_device_child)
+
+def device_main():
+    """Child-process entry: gate + time the full on-device pipeline."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from ffmpeg_ffv2_tpu.ffv1.params import FFV1Config, params_from_config
     from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
     from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
-    from ffmpeg_ffv2_tpu.ffv1.tpu_encoder import TPUFFV1Encoder
 
     w, h = 1920, 1080
     n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
-    # "hybrid" (device phase A + host phase B) is retired from the
-    # default set: the full device pipeline now covers every config the
-    # hybrid path was the TPU answer for (rice, 2-pass, v0-v4) except
-    # v4-RGB/rgb48, and measuring it head-to-head at 1080p yuv420p only
-    # restated that it loses to both native and device.  Opt back in
-    # with BENCH_PIPELINES=...,hybrid.
-    which = set(os.environ.get(
-        "BENCH_PIPELINES",
-        "native,device,kernel,decode,4k,ffv2").split(","))
     frames = synth_1080p_frames(n_frames)
     gop = lambda t: t % 12 == 0
-
-    # ---- correctness gate: device packets == native, decode lossless ----
     cfg_r = FFV1Config(level=3, coder=1, slices=30)
     p_r = params_from_config(cfg_r, "yuv420p", w, h)
-    results = {}
 
-    if "device" in which or "kernel" in which:
-        dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg_r, use_pallas=True)
-        nat_gate = NativeFFV1Codec(p_r)
-        dec_gate = NativeFFV1Codec(p_r)
-        for t in range(2):
-            pk = dev.encode(frames[t], force_keyframe=gop(t))
-            ref = nat_gate.encode(frames[t], gop(t))
-            assert pk == ref, f"device pipeline packet mismatch, frame {t}"
-            for a, b in zip(dec_gate.decode(pk), frames[t]):
-                assert np.array_equal(a, b), "device pipeline not lossless"
-        print("# gate: tpu_device packets byte-identical to native and "
-              "lossless", flush=True)
-
-    # ---- native host paths ----
-    if "native" in which:
-        for name, coder in (("golomb", -1), ("range", 1)):
-            cfg = FFV1Config(slices=30, coder=coder, level=3)
-            nat = NativeFFV1Codec(params_from_config(cfg, "yuv420p", w, h))
-            nat.encode(frames[0], True)
-            mp = measure_host(frames, w, h,
-                              lambda f, t: nat.encode(f, gop(t)))
-            emit(f"ffv1_1080p_encode_native_{name}", mp)
-            results[f"native_{name}"] = mp
-
-    # ---- hybrid: device phase A + host phase B ----
-    if "hybrid" in which:
-        cfg = FFV1Config(slices=30, coder=1, level=3)
-        hyb = TPUFFV1Encoder(w, h, "yuv420p", cfg)
-        hyb.encode(frames[0], force_keyframe=True)      # compile
-        mp = measure_host(frames, w, h,
-                          lambda f, t: hyb.encode(f, force_keyframe=gop(t)))
-        emit("ffv1_1080p_encode_tpu_hybrid", mp)
-        results["tpu_hybrid"] = mp
+    # ---- correctness gate: device packets == native, decode lossless ----
+    dev = DeviceFFV1Encoder(w, h, "yuv420p", cfg_r, use_pallas=True)
+    nat_gate = NativeFFV1Codec(p_r)
+    dec_gate = NativeFFV1Codec(p_r)
+    for t in range(2):
+        pk = dev.encode(frames[t], force_keyframe=gop(t))
+        ref = nat_gate.encode(frames[t], gop(t))
+        assert pk == ref, f"device pipeline packet mismatch, frame {t}"
+        for a, b in zip(dec_gate.decode(pk), frames[t]):
+            assert np.array_equal(a, b), "device pipeline not lossless"
+    print("# gate: tpu_device packets byte-identical to native and "
+          "lossless", flush=True)
 
     # ---- full device pipeline, device-resident (frame in -> packet
     # bytes out: phase A, layout, adapt, op assembly, arithmetic coder,
     # byte rendering — everything but the final tiny fetch) ----
-    if "device" in which:
-        ev_use = dev.op_cap
+    ev_use = dev.op_cap
+    planes_dev = [[jnp.asarray(pl, jnp.int32) for pl in f] for f in frames]
+    canon = dev.canonical
+    caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap,
+            dev.sortrows_cap)                             # gate-adapted
+    rcap = dev.render_cap
+    uw = dev.unsort_words                                 # gate-adapted
 
-        planes_dev = [[jnp.asarray(pl, jnp.int32) for pl in f]
-                      for f in frames]
-        canon = dev.canonical
+    def frame_step(t, canon):
+        opw, n_ops, canon, sizes = dev._pipeline(
+            planes_dev[t], canon, gop(t), caps, uw)
+        by, ln, fcm = dev._code_render(opw, ev_use, rcap)
+        probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
+                 + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
+        return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm, sizes[-1]
 
-        caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap,
-                dev.sortrows_cap)                             # gate-adapted
-        rcap = dev.render_cap
-        uw = dev.unsort_words                                 # gate-adapted
+    canon, probe, nmax, lmax, fcm, mc = frame_step(0, canon)
+    canon, probe, nmax, lmax, fcm, mc = frame_step(1, canon)
+    float(probe)
+    t0 = time.perf_counter()
+    probes = []
+    for t in range(n_frames):
+        canon, probe, nmax, lmax, fcm, mc = frame_step(t, canon)
+        probes.append((probe, nmax, lmax, fcm, mc))
+    tot = float(sum(pr for pr, _, _, _, _ in probes))  # one sync at end
+    dt = time.perf_counter() - t0
+    assert all(float(nm) <= ev_use for _, nm, _, _, _ in probes), \
+        "device pipeline op-stream overflow (raise EV bound)"
+    assert all(float(lm) <= rcap for _, _, lm, _, _ in probes), \
+        "device render buffer overflow (raise render_cap)"
+    assert all(float(m) <= 4 * uw for _, _, _, _, m in probes), \
+        "device unsort payload width overflow; bench path invalid"
+    # fast-render validity: encode() re-renders when a fill run
+    # overflows the 10-bit field; the bench must not time garbage
+    assert all(float(fc) <= 1023 for _, _, _, fc, _ in probes), \
+        "fast-render fill-run overflow; bench path invalid"
+    assert np.isfinite(tot)
+    mp = n_frames * w * h / dt / 1e6
+    emit("ffv1_1080p_encode_tpu_device", mp)
 
-        def frame_step(t, canon):
-            opw, n_ops, canon, sizes = dev._pipeline(
-                planes_dev[t], canon, gop(t), caps, uw)
-            by, ln, fcm = dev._code_render(opw, ev_use, rcap)
-            probe = (jnp.sum(ln) + jnp.max(n_ops) + jnp.sum(sizes)
-                     + jnp.sum(by[:, :128].astype(jnp.int32)) + fcm)
-            return canon, probe, jnp.max(n_ops), jnp.max(ln), fcm, \
-                sizes[-1]
-
-        canon, probe, nmax, lmax, fcm, mc = frame_step(0, canon)
-        canon, probe, nmax, lmax, fcm, mc = frame_step(1, canon)
-        float(probe)
-        t0 = time.perf_counter()
-        probes = []
-        for t in range(n_frames):
-            canon, probe, nmax, lmax, fcm, mc = frame_step(t, canon)
-            probes.append((probe, nmax, lmax, fcm, mc))
-        tot = float(sum(pr for pr, _, _, _, _ in probes))  # one sync at end
-        dt = time.perf_counter() - t0
-        assert all(float(nm) <= ev_use for _, nm, _, _, _ in probes), \
-            "device pipeline op-stream overflow (raise EV bound)"
-        assert all(float(lm) <= rcap for _, _, lm, _, _ in probes), \
-            "device render buffer overflow (raise render_cap)"
-        assert all(float(m) <= 4 * uw for _, _, _, _, m in probes), \
-            "device unsort payload width overflow; bench path invalid"
-        # fast-render validity: encode() re-renders when a fill run
-        # overflows the 10-bit field; the bench must not time garbage
-        assert all(float(fc) <= 1023 for _, _, _, fc, _ in probes), \
-            "fast-render fill-run overflow; bench path invalid"
-        assert np.isfinite(tot)
-        mp = n_frames * w * h / dt / 1e6
-        emit("ffv1_1080p_encode_tpu_device", mp)
-        results["tpu_device"] = mp
-
-        # ---- all-intra batched device encode (frame-parallel lanes) ----
-        # opt-in: the B=4 1080p batched program's XLA compile is
-        # pathologically slow on this rig (>90 min observed twice);
-        # encode_batch itself is covered by tests/test_device_coder.py
-        batched_on = os.environ.get("BENCH_BATCHED", "0") == "1"
+    # ---- all-intra batched device encode (frame-parallel lanes) ----
+    if os.environ.get("BENCH_BATCHED", "0") == "1":
         Bb = min(4, n_frames)
-        if batched_on:
-            pkb = dev.encode_batch(frames[:Bb])        # gate + cap adaptation
-            for t in range(Bb):
-                assert pkb[t] == nat_gate.encode(frames[t], True), \
-                    f"batched device packet mismatch, frame {t}"
-            st = dev._batch_state(Bb)
-            bcaps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
+        pkb = dev.encode_batch(frames[:Bb])        # gate + cap adaptation
+        for t in range(Bb):
+            assert pkb[t] == nat_gate.encode(frames[t], True), \
+                f"batched device packet mismatch, frame {t}"
+        st = dev._batch_state(Bb)
+        bcaps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
 
-            def bstep(fr):
-                opw, n_ops, _, sizes = dev._pipeline_batch(
-                    fr, st["canon"], bcaps)
-                by, ln, fcm = dev._code_render(opw, ev_use,
-                                               dev.render_cap)
-                return (jnp.sum(ln) + jnp.sum(sizes) + fcm
-                        + jnp.sum(by[:, :128].astype(jnp.int32)),
-                        jnp.max(n_ops), jnp.max(ln))
+        def bstep(fr):
+            opw, n_ops, _, sizes = dev._pipeline_batch(fr, st["canon"],
+                                                       bcaps)
+            by, ln, fcm = dev._code_render(opw, ev_use, dev.render_cap)
+            return (jnp.sum(ln) + jnp.sum(sizes) + fcm
+                    + jnp.sum(by[:, :128].astype(jnp.int32)),
+                    jnp.max(n_ops), jnp.max(ln))
 
-            batches = [planes_dev[i:i + Bb]
-                       for i in range(0, n_frames - Bb + 1, Bb)]
-            pr, nm, lm = bstep(batches[0])
-            float(pr)
-            t0 = time.perf_counter()
-            outs = [bstep(bt) for bt in batches]
-            tot = float(sum(pr for pr, _, _ in outs))
-            dt = time.perf_counter() - t0
-            assert np.isfinite(tot)
-            assert all(float(nm) <= ev_use for _, nm, _ in outs)
-            assert all(float(lm) <= dev.render_cap for _, _, lm in outs)
-            mp = len(batches) * Bb * w * h / dt / 1e6
-            emit(f"ffv1_1080p_encode_tpu_device_batched{Bb}", mp)
-            results["tpu_device_batched"] = mp
+        batches = [planes_dev[i:i + Bb]
+                   for i in range(0, n_frames - Bb + 1, Bb)]
+        pr, nm, lm = bstep(batches[0])
+        float(pr)
+        t0 = time.perf_counter()
+        outs = [bstep(bt) for bt in batches]
+        tot = float(sum(pr for pr, _, _ in outs))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(tot)
+        assert all(float(nm) <= ev_use for _, nm, _ in outs)
+        assert all(float(lm) <= dev.render_cap for _, _, lm in outs)
+        mp = len(batches) * Bb * w * h / dt / 1e6
+        emit(f"ffv1_1080p_encode_tpu_device_batched{Bb}", mp)
 
     # ---- adaptation kernel alone (the serial core on the chip) ----
-    if "kernel" in which and jax.default_backend() == "tpu":
-        from ffmpeg_ffv2_tpu.ffv1.device_coder import layout_plan, \
-            scatter_cells, build_s0_blocks
+    if jax.default_backend() == "tpu":
+        from ffmpeg_ffv2_tpu.ffv1.device_coder import (layout_plan,
+                                                       scatter_cells,
+                                                       build_s0_blocks)
         from ffmpeg_ffv2_tpu.ffv1.adapt_pallas import adapt_pallas
         import functools
         ctx, diff = jax.jit(dev._phase_a)(
@@ -252,122 +387,85 @@ def main():
         kt = max(min(ts) - rtt, 1e-4)
         emit("ffv1_adapt_kernel_throughput", w * h / kt / 1e6)
 
-    # ---- decode throughput (host) ----
+
+def run_device_child(results):
+    """Run the device section in a child process under a wall-clock
+    budget; echo its JSON lines and collect metric values.  On timeout
+    or failure emit a loud zero line so BENCH never ends up empty."""
+    budget = float(os.environ.get("BENCH_DEVICE_BUDGET", "1200"))
+    env = dict(os.environ)
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
+                             "--device-child"],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env,
+                            cwd=REPO)
+    timer = threading.Timer(budget, proc.kill)
+    timer.start()
+    got_metric = False
+    tail = []
+    try:
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            tail.append(line)
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                print(line, flush=True)
+                if rec.get("metric", "").startswith("ffv1_1080p_encode"):
+                    results[rec["metric"].replace(
+                        "ffv1_1080p_encode_", "")] = rec["value"]
+                got_metric = True
+            elif line.startswith("#"):
+                print(line, flush=True)
+        proc.wait()
+    finally:
+        timer.cancel()
+    if proc.returncode != 0 and not got_metric:
+        reason = (f"device bench exceeded {budget:.0f}s budget"
+                  if proc.returncode == -9 else
+                  f"device bench failed rc={proc.returncode}: "
+                  + " | ".join(tail[-3:])[-300:])
+        emit("ffv1_1080p_encode_tpu_device", 0.0, vs=0.0, error=reason)
+
+
+def main():
+    if "--device-child" in sys.argv:
+        device_main()
+        return
+
+    w, h = 1920, 1080
+    n_frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    which = set(os.environ.get(
+        "BENCH_PIPELINES",
+        "native,decode,4k,ffv2,ref,device").split(","))
+    frames = synth_1080p_frames(n_frames)
+    gop = lambda t: t % 12 == 0
+    results = {}
+
+    # host-side metrics first: the bench emits its floor before any
+    # device compile can stall it
+    if "native" in which:
+        bench_native(frames, w, h, gop, results)
     if "decode" in which:
-        cfg = FFV1Config(slices=30, coder=1, level=3)
-        p = params_from_config(cfg, "yuv420p", w, h)
-        enc = NativeFFV1Codec(p)
-        pkts = [enc.encode(f, gop(t)) for t, f in enumerate(frames)]
-        dec = NativeFFV1Codec(p)
-        dec.decode(pkts[0])
-        dec2 = NativeFFV1Codec(p)
-        t0 = time.perf_counter()
-        for pk in pkts:
-            dec2.decode(pk)
-        mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
-        emit("ffv1_1080p_decode_native", mp)
-
-        from ffmpeg_ffv2_tpu.ffv1.batched import BatchedFFV1Decoder
-        bd = BatchedFFV1Decoder(p)
-        keys = [gop(t) for t in range(n_frames)]
-        bd.decode_all(pkts[:2], keys[:2])
-        t0 = time.perf_counter()
-        bd.decode_all(pkts, keys)
-        mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
-        emit("ffv1_1080p_decode_batched_gop", mp)
-
-    # ---- 4K encode (host native) ----
+        bench_decode(frames, w, h, gop, n_frames)
     if "4k" in which:
-        w4, h4 = 3840, 2160
-        f4 = synth_1080p_frames(max(2, n_frames // 2), w4, h4)
-        cfg = FFV1Config(slices=30, coder=1, level=3)
-        nat4 = NativeFFV1Codec(params_from_config(cfg, "yuv420p", w4, h4))
-        nat4.encode(f4[0], True)
-        mp = measure_host(f4, w4, h4, lambda f, t: nat4.encode(f, gop(t)))
-        emit("ffv1_4k_encode_native", mp)
-
-    # ---- FFV2 ----
+        bench_4k(n_frames, gop)
     if "ffv2" in which:
-        from ffmpeg_ffv2_tpu.ffv2.native import (NativeFFV2Encoder,
-                                                 NativeFFV2Decoder)
-        from ffmpeg_ffv2_tpu.ffv2.codec import FFV2Config
-        wf, hf = 512, 512
-        rng = np.random.RandomState(1)
-        yy, xx = np.mgrid[0:hf, 0:wf]
-        fr2 = [[((xx + yy * 2 + 40 * t) % 256).astype(np.int64)
-                for _ in range(3)] for t in range(4)]
-        enc2 = NativeFFV2Encoder(wf, hf, "yuv444p", FFV2Config(qp=16))
-        pk0 = enc2.encode(fr2[0])
-        t0 = time.perf_counter()
-        pkts2 = [enc2.encode(f) for f in fr2]
-        mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
-        emit("ffv2_512_encode", mp)
-        # frame-pipelined EC: worker-thread Daala coder overlaps the
-        # device front (byte-identical packets — asserted)
-        from ffmpeg_ffv2_tpu.ffv2.native import PipelinedFFV2Encoder
-        pipe = PipelinedFFV2Encoder(wf, hf, "yuv444p", FFV2Config(qp=16),
-                                    depth=2)
-        pk_pipe = pipe.encode_stream(fr2[:1])      # warm
-        assert pk_pipe[0] == pk0, "pipelined ffv2 packet mismatch"
-        t0 = time.perf_counter()
-        pkts_p = pipe.encode_stream(fr2)
-        mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
-        pipe.close()
-        assert pkts_p == pkts2, "pipelined ffv2 stream mismatch"
-        emit("ffv2_512_encode_pipelined", mp)
+        bench_ffv2(n_frames)
+    if "ref" in which:
+        bench_ref_binary(frames, w, h, n_frames, results)
 
-        dec2 = NativeFFV2Decoder(wf, hf)
-        dec2.decode(pkts2[0])
-        t0 = time.perf_counter()
-        for pk in pkts2:
-            dec2.decode(pk)
-        mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
-        emit("ffv2_512_decode", mp)
+    # device pipeline last, budgeted
+    if "device" in which:
+        run_device_child(results)
 
-        # compute-bound split: device quant is ~free (25 ms incl RTT at
-        # 512^2x3) and the EC below runs on prefetched quant data — the
-        # end-to-end gap vs this number is the dev rig's ~19 MB/s tunnel
-        import ctypes
-        from ffmpeg_ffv2_tpu.ffv2 import dsp as _dsp
-        from ffmpeg_ffv2_tpu.ffv2.native import _pad_px
-        from ffmpeg_ffv2_tpu.ffv2.tpu import encode_front_q
-        from ffmpeg_ffv2_tpu.ffv2.pvq import icbrt
-        lib = enc2.lib
-        bands_l = list(_dsp.band_starts(512 // 8 * 0 + 64))
-        padded = np.stack([_pad_px(np.asarray(p), 8) for p in fr2[0]])
-        dcq, pulses, igain = encode_front_q(padded, 8, 16, bands_l)
-        t0 = time.perf_counter()
-        for _ in range(len(fr2)):
-            cgq = np.vectorize(lambda v: icbrt(int(v)))(igain)                 .astype(np.int32)
-            hq = lib.ffv2rt_enc_create(
-                16, np.asarray(bands_l, np.int32).ctypes.data_as(
-                    ctypes.POINTER(ctypes.c_int32)), len(bands_l))
-            lib.ffv2rt_enc_frame_q.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int]
-            dc64 = np.ascontiguousarray(dcq, np.int64)
-            cgc = np.ascontiguousarray(cgq)
-            pu = np.ascontiguousarray(pulses)
-            lib.ffv2rt_enc_frame_q(
-                hq, dc64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                cgc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                pu.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                pu.shape[1], igain.shape[1], 64, 3, 64, _dsp.TX_DCT)
-            out = np.empty(1 << 22, np.uint8)
-            lib.ffv2rt_enc_done.restype = ctypes.c_int64
-            lib.ffv2rt_enc_done(hq, out.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_uint8)), 1 << 22)
-            lib.ffv2rt_enc_destroy(hq)
-        mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
-        emit("ffv2_512_encode_compute", mp)
-
-    # ---- headline: best 1080p lossless encode pipeline ----
-    if results:
-        best = max(results, key=results.get)
-        emit(f"ffv1_1080p_lossless_encode_throughput_{best}", results[best])
+    # ---- headline: best 1080p lossless encode pipeline (ours) ----
+    ours = {k: v for k, v in results.items() if k != "ref_ffmpeg"}
+    if ours:
+        best = max(ours, key=ours.get)
+        emit(f"ffv1_1080p_lossless_encode_throughput_{best}", ours[best])
 
 
 if __name__ == "__main__":

@@ -225,8 +225,11 @@ def cmd_encode(args):
                    "bpp": round(8 * len(pkt) / (w * h), 4)}
             if slice_sz is not None:
                 rec["slices"] = slice_sz
-                rec["crc_ok"] = all(ok for (_, _, ok) in regions
-                                    if ok is not None)
+                # only claim CRC verification when CRCs exist (ec on);
+                # null means "no CRCs present in the packet"
+                rec["crc_ok"] = (
+                    all(ok for (_, _, ok) in regions if ok is not None)
+                    if p_enc.ec else None)
             vstats.write(json.dumps(rec) + "\n")
     if vstats:
         vstats.write(json.dumps({"summary": stats.report()}) + "\n")

@@ -42,6 +42,11 @@ def _bind(lib):
                                      ctypes.POINTER(ctypes.c_int64),
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int]
+    lib.ffv2rt_enc_frame_q.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
     lib.ffv2rt_enc_split.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ffv2rt_enc_leaf.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_int64),
@@ -236,12 +241,6 @@ class NativeFFV2Encoder:
         front on another thread)."""
         lib = self.lib
         dc64, cg, pulses, nbands, nblocks = fr
-        lib.ffv2rt_enc_frame_q.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int8),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.ffv2rt_enc_frame_q(
             h, dc64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             cg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -395,6 +394,12 @@ class PipelinedFFV2Encoder:
         import collections
         enc = self.enc
         if enc.cfg.block_size != SB:
+            return [enc.encode(f) for f in frames]
+        try:
+            from .tpu import encode_front_q as _probe  # noqa: F401
+        except ImportError:
+            # jax-less host: no device front to overlap — sequential
+            # encode (mirrors NativeFFV2Encoder.encode's fallback)
             return [enc.encode(f) for f in frames]
         pend = collections.deque()
         out = []

@@ -88,6 +88,11 @@ def packet_slice_sizes(packet: bytes, ec: bool, version: int = 3):
     per-slice coded sizes for ANY backend's packets (native, device,
     hybrid), since the trailer layout is normative.  crc_ok is None when
     ec is off (nothing to check).  version <= 2 packets are one region.
+
+    A complete walk covers the packet exactly (every v3+ slice carries a
+    trailer, ffv1enc.c:1236).  If the chain is malformed, the leading
+    bytes the walk could not attribute are returned as a first region
+    with crc_ok=False so callers can tell coverage is partial.
     """
     from ..core.crc import crc32_ieee
     trailer = 3 + (5 if ec else 0)
@@ -95,7 +100,7 @@ def packet_slice_sizes(packet: bytes, ec: bool, version: int = 3):
         return [(0, len(packet), None)]
     regions = []
     end = len(packet)
-    while trailer < end:
+    while trailer <= end:
         size = int.from_bytes(packet[end - trailer:end - trailer + 3],
                               "big")
         if size + trailer > end:
@@ -105,6 +110,8 @@ def packet_slice_sizes(packet: bytes, ec: bool, version: int = 3):
             else None
         regions.append((off, length, crc_ok))
         end -= size + trailer
+    if end > 0:
+        regions.append((0, end, False))     # residual: walk incomplete
     regions.reverse()
     return regions
 
