@@ -126,6 +126,52 @@ def make_ffv1_encoder(args, w, h, backend):
     return _NativeSession()
 
 
+def _encode_stream_mesh(args, w, h, frames):
+    """GOP-parallel sharded encode over a ("data", "slice") device mesh
+    (--mesh DxS): lane b encodes GOP b, b+D, ... through the public
+    ParallelFFV1Encoder; packets come back in stream order and are
+    byte-identical to the single-session encoder (asserted by tests).
+    Returns (packets, encoder) — the device analogue of frame-threaded
+    encoding (pthread_frame.c) with slices sharded inside each lane."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from ..ffv1.params import FFV1Config
+    from ..parallel.ffv1 import ParallelFFV1Encoder
+
+    data, ns = (int(x) for x in args.mesh.lower().split("x"))
+    devs = jax.devices()
+    if len(devs) < data * ns:
+        sys.exit(f"--mesh {args.mesh}: needs {data * ns} devices, "
+                 f"have {len(devs)} "
+                 "(CPU: set XLA_FLAGS=--xla_force_host_platform_"
+                 "device_count=N)")
+    mesh = Mesh(np.array(devs[:data * ns]).reshape(data, ns),
+                ("data", "slice"))
+    cfg = FFV1Config(level=args.level, coder=_coder_value(args.coder),
+                     context=args.context, slices=args.slices,
+                     slicecrc=args.slicecrc, gop_size=args.g)
+    par = ParallelFFV1Encoder(w, h, args.pix_fmt, cfg, mesh)
+    gop = args.g if args.g > 0 else len(frames)
+    gops = [frames[i:i + gop] for i in range(0, len(frames), gop)]
+    out = [None] * len(frames)
+    for base in range(0, len(gops), data):
+        group = gops[base:base + data]
+        span = max(len(g) for g in group)
+        for t in range(span):
+            # pad short lanes by repeating their last frame; padded
+            # outputs are dropped and lane state resets at the next
+            # keyframe call, so the real streams are unaffected
+            batch = [g[min(t, len(g) - 1)] for g in group]
+            while len(batch) < data:
+                batch.append(batch[-1])
+            pkts = par.encode_batch(batch, force_keyframe=(t == 0))
+            for j, g in enumerate(group):
+                if t < len(g):
+                    out[(base + j) * gop + t] = pkts[j]
+    return out, par
+
+
 def cmd_encode_twopass(args, w, h, frames):
     """-pass 1 collects stats to the log file; -pass 2 reads them and
     encodes with optimized initial states (ffv1enc.c 2-pass flow)."""
@@ -164,11 +210,15 @@ def cmd_encode(args):
     if not frames:
         sys.exit("no frames read")
 
+    pre = None
     if args.c == "ffv1":
         if args.pass_num:
             cmd_encode_twopass(args, w, h, frames)
             return
-        enc = make_ffv1_encoder(args, w, h, args.backend)
+        if getattr(args, "mesh", ""):
+            pre, enc = _encode_stream_mesh(args, w, h, frames)
+        else:
+            enc = make_ffv1_encoder(args, w, h, args.backend)
         fourcc = "FFV1"
     elif args.c == "ffv2":
         from ..ffv2 import FFV2Encoder, FFV2Config
@@ -197,7 +247,6 @@ def cmd_encode(args):
     vstats = open(args.vstats, "w") if args.vstats else None
     stats = FrameStats() if vstats else None
     p_enc = getattr(enc, "p", None)         # FFV1Params (slice trailers)
-    pre = None
     if (args.c == "ffv2" and getattr(args, "workers", 1) > 1
             and args.backend != "python"):
         # frame-pipelined Daala EC: frame t's C++ coder overlaps frame
@@ -346,6 +395,11 @@ def main(argv=None):
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # the environment may pin jax to a TPU plugin regardless of
+        # JAX_PLATFORMS; honor an explicit cpu request through the
+        # config API (needed for --mesh on a virtual CPU device mesh)
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
     ap = argparse.ArgumentParser(prog="ffv",
@@ -369,6 +423,11 @@ def main(argv=None):
                        choices=[0, 4, 8, 16, 32, 64],
                        help="ffv2 leaf block size (<64 emits the split "
                             "tree; 0 = activity-adaptive)")
+        p.add_argument("--mesh", default="", metavar="DxS",
+                       help="shard the encode over a (data x slice) "
+                            "device mesh, e.g. 2x4: GOPs ride the data "
+                            "axis, FFV1 slices the slice axis "
+                            "(ffv1 only)")
         p.add_argument("--backend", default="native",
                        choices=["native", "tpu", "device", "python"])
         p.add_argument("-pass", dest="pass_num", type=int, default=0,

@@ -101,6 +101,26 @@ def lookup_packed(table: jnp.ndarray, idx9: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def quantize_cap(need: int, cap_max: int, gran: int = 1) -> int:
+    """Snap an adaptive working-domain size to a coarse rung.
+
+    Rungs are m * 2^e with m in [4, 8) (quarter-octave spacing), rounded
+    up to ``gran``.  Every jitted stage is keyed by these static sizes;
+    fine-grained content-measured caps (rows + rows//16 style) gave each
+    clip its own shapes and therefore its own multi-minute XLA/Mosaic
+    cold compile.  Quantized, a whole band of contents shares one
+    compiled variant and the persistent cache actually persists.  The
+    rung always covers ``need`` (clamped to cap_max; callers validate
+    real fit against the measured sizes)."""
+    if need >= cap_max:
+        return cap_max
+    v = max(int(need), 1)
+    e = max(0, v.bit_length() - 3)
+    v = -(-v >> e) << e
+    v = -(-v // gran) * gran
+    return min(v, cap_max)
+
+
 def k_max_for_bits(bits: int) -> int:
     """Worst-case rac ops per pixel: 2*e_max + 3, e_max = bits-1 <= 15."""
     if bits > 16:
@@ -929,16 +949,19 @@ class DeviceFFV1Encoder:
         # adaptive working sizes: start at a content-typical estimate and
         # grow on overflow (detected from the layout's actual sizes at
         # the existing per-frame sync); every downstream static domain —
-        # especially the cell-space unsort — scales with these
-        self.tiles_cap = min(self.tiles_max, n // GCAP
-                             + self.n_chain_rows // 128 + 72)
-        self.cellrows_cap = min(self.cellrows_max,
-                                n // 128 * 5 // 4 + 2 * GCAP + 256)
+        # especially the cell-space unsort — scales with these.  All
+        # values sit on quantize_cap rungs so adaptation lands on a
+        # small shared set of compiled shapes.
+        self.tiles_cap = quantize_cap(
+            n // GCAP + self.n_chain_rows // 128 + 72, self.tiles_max)
+        self.cellrows_cap = quantize_cap(
+            n // 128 * 5 // 4 + 2 * GCAP + 256, self.cellrows_max)
         # unsort domain: real cells are a dense prefix of the cell
         # buffer (tile_bases = cumsum of caps); the payload sort only
         # needs n_rows, not the DMA slack, so it gets a tighter cap
         self.sortrows_cap = min(self.cellrows_cap,
-                                n // 128 * 9 // 8 + 1024)
+                                quantize_cap(n // 128 * 9 // 8 + 1024,
+                                             self.cellrows_max))
 
         self.table = packed_transition_table(p)
         # keyframe canonical: 128 everywhere, or the 2-pass per-context
@@ -1005,9 +1028,11 @@ class DeviceFFV1Encoder:
             # adaptive ladder-event and bitstream-word capacities
             nlines = sum(prects[0][3] for prects in self.crop_plan)
             self.ev_cap_max = self.npix + nlines + 8
-            self.ev_cap = min(self.ev_cap_max, self.npix // 4 + 1024)
+            self.ev_cap = quantize_cap(self.npix // 4 + 1024,
+                                       self.ev_cap_max)
             self.nwords_max = (self.npix * 3 * 25) // 32 + 8
-            self.nwords = min(self.nwords_max, self.npix // 16 * 8 + 256)
+            self.nwords = quantize_cap(self.npix // 16 * 8 + 256,
+                                       self.nwords_max, 8)
 
         # adaptive per-slice op-stream capacity (like tiles/cellrows):
         # start at a content-typical ~4 ops/pixel, grow on overflow.
@@ -1016,15 +1041,14 @@ class DeviceFFV1Encoder:
         hmax = max(int(self.prefix[k][0].shape[1]) for k in (True, False))
         self.op_cap_max = -(-(self.npix * self.k_max + hmax + 8)
                             // OP_GRAN) * OP_GRAN
-        self.op_cap = min(self.op_cap_max,
-                          -(-(self.npix * 4 + hmax + 1024)
-                            // OP_GRAN) * OP_GRAN)
+        self.op_cap = quantize_cap(self.npix * 4 + hmax + 1024,
+                                   self.op_cap_max, OP_GRAN)
         # per-slice rendered-packet capacity (adaptive, like op_cap):
         # each rac op emits at most one staged byte (+ run fills), so
         # op_cap_max + slack bounds any slice; start at ~1 byte/pixel
         self.render_cap_max = self.op_cap_max + 16
-        self.render_cap = min(self.render_cap_max,
-                              -(-(self.npix + 4096) // 4096) * 4096)
+        self.render_cap = quantize_cap(self.npix + 4096,
+                                       self.render_cap_max, 4096)
         # adaptive unsort payload width (emission-order words carried
         # through the cells->stream sort): 2 words = 8 ops covers
         # |diff| <= 7; grows to the content's true ceil(maxops/4)
@@ -1225,22 +1249,22 @@ class DeviceFFV1Encoder:
                     and nl <= self.ev_cap
                     and int(nb.max()) <= self.nwords * 32):
                 break
-            self.tiles_cap = min(self.tiles_max,
-                                 max(tiles + 64, self.tiles_cap * 2))
-            self.cellrows_cap = min(
-                self.cellrows_max,
-                max(rows + 2048, self.cellrows_cap * 2))
-            self.sortrows_cap = min(
-                self.cellrows_cap,
-                max(rows + 512, self.sortrows_cap * 2))
+            if rows + 1024 > self.cellrows_cap or tiles > self.tiles_cap \
+                    or slots > self.tiles_cap * 128:
+                self.tiles_cap = quantize_cap(
+                    max(tiles + 64, self.tiles_cap + 1), self.tiles_max)
+                self.cellrows_cap = quantize_cap(
+                    max(rows + 2048, self.cellrows_cap + 1),
+                    self.cellrows_max)
+            if rows > self.sortrows_cap:
+                self.sortrows_cap = quantize_cap(rows + 512,
+                                                 self.cellrows_max)
+            self.sortrows_cap = min(self.sortrows_cap, self.cellrows_cap)
             if nl > self.ev_cap:
-                self.ev_cap = min(self.ev_cap_max,
-                                  max(nl + 512, self.ev_cap * 2))
+                self.ev_cap = quantize_cap(nl + 512, self.ev_cap_max)
             if int(nb.max()) > self.nwords * 32:
-                self.nwords = min(
-                    self.nwords_max,
-                    -(-max(int(nb.max()) // 32 + 256,
-                           self.nwords * 2) // 8) * 8)
+                self.nwords = quantize_cap(int(nb.max()) // 32 + 256,
+                                           self.nwords_max, 8)
         else:
             raise RuntimeError("device rice exceeded worst-case caps")
         self.vcanon = vcanon
@@ -1574,10 +1598,9 @@ class DeviceFFV1Encoder:
                 ln_h = np.asarray(ln)
             if int(ln_h.max()) <= self.render_cap:
                 return by, ln_h
-            self.render_cap = min(
-                self.render_cap_max,
-                -(-max(int(ln_h.max()) + 4096,
-                       self.render_cap * 2) // 4096) * 4096)
+            self.render_cap = quantize_cap(
+                max(int(ln_h.max()) + 4096, self.render_cap + 1),
+                self.render_cap_max, 4096)
         raise RuntimeError("render buffer exceeded worst-case cap")
 
     # -- public API -----------------------------------------------------------
@@ -1634,9 +1657,10 @@ class DeviceFFV1Encoder:
                 # instead of oscillating; a later spike regrows them.
                 if self._shrinks > 0:
                     from .expand_pallas import OP_GRAN
-                    tight_op = -(-(opmax * 5 // 4 + 512)
-                                 // OP_GRAN) * OP_GRAN
-                    tight_sort = rows + max(512, rows // 16)
+                    tight_op = quantize_cap(opmax * 5 // 4 + 512,
+                                            self.op_cap_max, OP_GRAN)
+                    tight_sort = quantize_cap(
+                        rows + max(512, rows // 16), self.cellrows_max)
                     if (tight_op < self.op_cap
                             or tight_sort < self.sortrows_cap):
                         self._shrinks -= 1
@@ -1656,27 +1680,30 @@ class DeviceFFV1Encoder:
                     ln_h = np.asarray(ln)
                 if int(ln_h.max()) <= self.render_cap:
                     break
-                self.render_cap = min(
-                    self.render_cap_max,
-                    -(-max(int(ln_h.max()) + 4096,
-                           self.render_cap * 2) // 4096) * 4096)
+                self.render_cap = quantize_cap(
+                    max(int(ln_h.max()) + 4096, self.render_cap + 1),
+                    self.render_cap_max, 4096)
                 continue
             # grow the adaptive working sizes and retrace (rare; the
-            # canonical table was not consumed destructively)
-            self.tiles_cap = min(self.tiles_max,
-                                 max(tiles + 64, self.tiles_cap * 2))
-            self.cellrows_cap = min(
-                self.cellrows_max,
-                max(rows + 2048, self.cellrows_cap * 2))
-            self.sortrows_cap = min(
-                self.cellrows_cap,
-                max(rows + 512, self.sortrows_cap * 2))
+            # canonical table was not consumed destructively).  Growth
+            # targets the measured need (+slack) snapped up a rung, so
+            # one retry normally suffices and the new shapes still come
+            # from the shared rung set.
+            if rows + 1024 > self.cellrows_cap or tiles > self.tiles_cap \
+                    or slots > self.tiles_cap * 128:
+                self.tiles_cap = quantize_cap(
+                    max(tiles + 64, self.tiles_cap + 1), self.tiles_max)
+                self.cellrows_cap = quantize_cap(
+                    max(rows + 2048, self.cellrows_cap + 1),
+                    self.cellrows_max)
+            if rows > self.sortrows_cap:
+                self.sortrows_cap = quantize_cap(rows + 512,
+                                                 self.cellrows_max)
+            self.sortrows_cap = min(self.sortrows_cap, self.cellrows_cap)
             if opmax > self.op_cap:
                 from .expand_pallas import OP_GRAN
-                self.op_cap = min(
-                    self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2)
-                      // OP_GRAN) * OP_GRAN)
+                self.op_cap = quantize_cap(opmax + 512, self.op_cap_max,
+                                           OP_GRAN)
             if maxc > 4 * self.unsort_words:
                 self.unsort_words = min(n_ev_words(self.code_bits),
                                         (maxc + 3) // 4)
@@ -1717,10 +1744,11 @@ class DeviceFFV1Encoder:
             cellrows_max = (n // 128 + (n_buckets + 2) * GCAP
                             + tiles_max + 128)
             self._bstate[B] = dict(
-                tiles=min(tiles_max, n // GCAP + chains // 128 + 72),
-                cellrows=min(cellrows_max,
-                             n // 128 * 5 // 4 + 2 * GCAP + 256),
-                sort=min(cellrows_max, n // 128 * 9 // 8 + 1024),
+                tiles=quantize_cap(n // GCAP + chains // 128 + 72,
+                                   tiles_max),
+                cellrows=quantize_cap(n // 128 * 5 // 4 + 2 * GCAP + 256,
+                                      cellrows_max),
+                sort=quantize_cap(n // 128 * 9 // 8 + 1024, cellrows_max),
                 tiles_max=tiles_max, cellrows_max=cellrows_max,
                 canon=jnp.full((chains + 1, 32), 128, jnp.uint8))
         return self._bstate[B]
@@ -1762,18 +1790,20 @@ class DeviceFFV1Encoder:
                     and opmax <= self.op_cap
                     and maxc <= 4 * self.unsort_words):
                 break
-            st["tiles"] = min(st["tiles_max"],
-                              max(tiles + 64, st["tiles"] * 2))
-            st["cellrows"] = min(st["cellrows_max"],
-                                 max(rows + 2048, st["cellrows"] * 2))
-            st["sort"] = min(st["cellrows"],
-                             max(rows + 512, st["sort"] * 2))
+            if rows + 1024 > st["cellrows"] or tiles > st["tiles"] \
+                    or slots > st["tiles"] * 128:
+                st["tiles"] = quantize_cap(
+                    max(tiles + 64, st["tiles"] + 1), st["tiles_max"])
+                st["cellrows"] = quantize_cap(
+                    max(rows + 2048, st["cellrows"] + 1),
+                    st["cellrows_max"])
+            if rows > st["sort"]:
+                st["sort"] = quantize_cap(rows + 512, st["cellrows_max"])
+            st["sort"] = min(st["sort"], st["cellrows"])
             if opmax > self.op_cap:
                 from .expand_pallas import OP_GRAN
-                self.op_cap = min(
-                    self.op_cap_max,
-                    -(-max(opmax + 512, self.op_cap * 2)
-                      // OP_GRAN) * OP_GRAN)
+                self.op_cap = quantize_cap(opmax + 512, self.op_cap_max,
+                                           OP_GRAN)
             if maxc > 4 * self.unsort_words:
                 self.unsort_words = min(n_ev_words(self.code_bits),
                                         (maxc + 3) // 4)

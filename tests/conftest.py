@@ -1,23 +1,39 @@
 import os
 import sys
 
-# Multi-chip sharding tests run on a virtual 8-device CPU mesh.  The
-# environment pins jax_platforms to the axon TPU plugin regardless of
-# JAX_PLATFORMS, so force CPU through the config API as well.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+# Two platform modes:
+#  * default       — virtual 8-device CPU mesh (deterministic, fast
+#    interpret-mode pallas; multi-chip sharding tests run here).  The
+#    environment pins jax_platforms to the axon TPU plugin regardless
+#    of JAX_PLATFORMS, so force CPU through the config API as well.
+#  * FFV1_TPU_TIER=1 — the on-chip tier: run tests marked `device` on
+#    the real TPU (byte-exactness gate; see test_tpu_gate.py).  Uses
+#    the repo-local persistent compilation cache so a warm run is
+#    minutes, not hours:  FFV1_TPU_TIER=1 python -m pytest -m device
+_TPU_TIER = os.environ.get("FFV1_TPU_TIER") == "1"
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 # ---------------------------------------------------------------------------
 # Speed tiers (markers registered in pyproject.toml):
-#   python -m pytest tests/ -m "not slow"   -> fast suite, ~2 min hostside
+#   python -m pytest tests/ -m "not slow"   -> fast suite
 #   python -m pytest tests/                 -> full suite (nightly-style)
 # Tests measured >5 s on the reference rig are auto-marked slow; the fast
 # tier still covers every component (each slow matrix keeps at least one
@@ -50,3 +66,7 @@ def pytest_collection_modifyitems(config, items):
         if any(item.name.startswith(p) or p in item.name
                for p in _SLOW_PATTERNS):
             item.add_marker(pytest.mark.slow)
+        if item.get_closest_marker("device") and not _TPU_TIER:
+            item.add_marker(pytest.mark.skip(
+                reason="on-chip tier: set FFV1_TPU_TIER=1 and run on "
+                       "the real TPU"))
