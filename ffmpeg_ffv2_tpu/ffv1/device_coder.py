@@ -851,19 +851,33 @@ MODE_NOP, MODE_OP, MODE_FLUSH1, MODE_FLUSH2 = 0, 1, 2, 3
 class DeviceFFV1Encoder:
     """FFV1 encode with phase A *and* phase B on the device.
 
-    v1 scope: version 3, range coder (ac 1/2), YUV/gray, bits <= 10,
-    uniform slice crops.  use_pallas=False runs the XLA reference path
-    (CPU-testable; also the multichip dryrun path).
+    Covers versions 0/1/3/4, range (ac 1/2) + golomb-rice coders,
+    YUV/gray at depths 8..16, RGB/RCT (incl. the v4 per-slice RCT
+    search) at <= 14 bpc, 2-pass custom initial states, and
+    non-uniform slice geometries (via per-shape banks).  Golomb-rice
+    above 8 bits is forced to the range coder by the format itself
+    (ffv1enc.c:702-708; the 16-bit payload field is in place should
+    custom params ever carry it).  Remaining host-only format:
+    RGB >= 15 bpc (int32 sample ring).  use_pallas=False runs the
+    XLA reference path (CPU-testable; also the multichip dryrun path).
     """
 
     def __init__(self, width: int, height: int, pix_fmt: str,
                  config: FFV1Config | None = None, use_pallas: bool = True,
-                 params: FFV1Params | None = None):
+                 params: FFV1Params | None = None, slice_subset=None):
         """params overrides the config-derived FFV1Params — the 2-pass
         flow (twopass.apply_pass2) hands a params object carrying the
         sorted state-transition table and per-context initial states
         (ffv1enc.c:793-873); both flow into the packed transition table
-        and the keyframe canonical below."""
+        and the keyframe canonical below.
+
+        slice_subset (internal): restrict this instance to the given
+        GLOBAL slice indices.  Non-uniform geometries (odd frame sizes
+        where the floor/ceil slice boundaries differ, e.g. FATE's 34x34
+        chroma at 2x2 slices — ff_ffv1_init_slice_contexts, ffv1.c:117)
+        are handled by partitioning the slices into uniform-shape
+        groups ("banks"), one pipeline per shape, and assembling the
+        packet in global slice order."""
         self.cfg = config or FFV1Config()
         if params is not None:
             p = self.p = params
@@ -874,16 +888,18 @@ class DeviceFFV1Encoder:
             raise NotImplementedError(
                 "device coder: versions 0/1/3/4 (v2's in-band slice "
                 "table is a deprecated transitional layout)")
-        if p.version > 3 and p.colorspace == 1:
-            raise NotImplementedError(
-                "device coder: v4 RGB needs the per-slice RCT search "
-                "in the slice header (host/hybrid paths cover it)")
+        # version-4 RGB runs the per-slice RCT coefficient search on
+        # device (15-candidate L1 reduction, ffv1enc.c:963-1043) and
+        # re-plans the slice-header prefixes per frame (the chosen
+        # coefficients are coded in the header)
+        self._v4rgb = p.version > 3 and p.colorspace == 1
+        self._rct_prefix_cache = {}
         self.golomb = p.ac == CODER_GOLOMB
         if self.golomb and p.colorspace != 0:
             raise NotImplementedError("device rice: YUV/gray only")
-        if self.golomb and p.bits > 12:
-            raise NotImplementedError("device rice: bits <= 12 "
-                                      "(12-bit vlc payload field)")
+        # rice cell payload: 12-bit diff field for bits <= 12, 16-bit
+        # for 13..16 (silent flag at pb, layout valid flag at pb+1)
+        self._rice_pb = 12 if p.bits <= 12 else 16
         # RGB codes the RCT planes at depth bits+1 (lbd path,
         # ffv1enc_template.c:193); depths 11..16 take the slot-repeat
         # sub-step path (R = depth-10 extra masked steps per pixel)
@@ -898,16 +914,37 @@ class DeviceFFV1Encoder:
         self.use_pallas = use_pallas
         self.k_max = k_max_for_bits(self.code_bits)
 
-        # crop plan (one rect per (plane, slice)); uniform shapes required
+        # crop plan (one rect per (plane, slice)); the pipeline's batched
+        # stream layout needs uniform shapes, so non-uniform geometries
+        # split into shape banks
         from .tpu_encoder import TPUFFV1Encoder
         from .tpu import lut_for
         shell = TPUFFV1Encoder.__new__(TPUFFV1Encoder)
         shell.p = p
-        self.crop_plan = TPUFFV1Encoder._build_plan(shell)
-        for prects in self.crop_plan:
-            if len({(w, h) for (_, _, w, h) in prects}) != 1:
-                raise NotImplementedError("device coder: slice crops must "
-                                          "be uniform across slices")
+        full_plan = TPUFFV1Encoder._build_plan(shell)
+        self._banks = None
+        if slice_subset is None:
+            sig = [tuple((prects[si][2], prects[si][3])
+                         for prects in full_plan)
+                   for si in range(p.slice_count)]
+            groups = {}
+            for si in range(p.slice_count):
+                groups.setdefault(sig[si], []).append(si)
+            if len(groups) > 1:
+                self._banks = [
+                    DeviceFFV1Encoder(width, height, pix_fmt, self.cfg,
+                                      use_pallas=use_pallas, params=p,
+                                      slice_subset=g)
+                    for g in groups.values()]
+                self.extradata = self._banks[0].extradata
+                self.picture_number = 0
+                return
+            self.slice_ids = list(range(p.slice_count))
+        else:
+            self.slice_ids = list(slice_subset)
+        self.S = len(self.slice_ids)
+        self.crop_plan = [[prects[si] for si in self.slice_ids]
+                          for prects in full_plan]
         self.qt = lut_for(p, p.context_model)
         self.five = bool(p.quant_tables[p.context_model][3][127]
                          or p.quant_tables[p.context_model][4][127])
@@ -935,9 +972,9 @@ class DeviceFFV1Encoder:
         self.rows_per_slice = int(np.sum(self.class_counts))
         self.class_off_stream = class_off[pclass]     # (npix,) int32
 
-        n = p.slice_count * self.npix
+        n = self.S * self.npix
         self.n = n
-        self.n_chain_rows = p.slice_count * self.rows_per_slice
+        self.n_chain_rows = self.S * self.rows_per_slice
         # worst-case bounds: bucket k = the k-th GCAP-sub-lane of every
         # split group; up to npix/GCAP + 1 buckets, and each bucket's
         # final partial tile can cost a full GCAP of rows on its own
@@ -977,7 +1014,7 @@ class DeviceFFV1Encoder:
                     ck[off:off + cnt] = np.asarray(init, np.uint8)[:cnt]
                 off += cnt
         full = np.full((self.n_chain_rows + 1, 32), 128, np.uint8)
-        full[:self.n_chain_rows] = np.tile(ck, (p.slice_count, 1))
+        full[:self.n_chain_rows] = np.tile(ck, (self.S, 1))
         self._canonical_key1 = ck                 # one slice's worth
         self.canonical_key = jnp.asarray(full)
         self.canonical = self.canonical_key
@@ -988,14 +1025,14 @@ class DeviceFFV1Encoder:
         self.prefix = {}
         for key in (True, False):
             svs, bits = [], []
-            for si in range(p.slice_count):
+            for si in self.slice_ids:
                 sv, bit = plan_slice_prefix(p, SliceState(p), si, rects[si],
                                             key)
                 svs.append(sv)
                 bits.append(bit)
             hmax = max(len(s) for s in svs)
-            svp = np.zeros((p.slice_count, hmax), np.int32)
-            btp = np.zeros((p.slice_count, hmax), np.int32)
+            svp = np.zeros((self.S, hmax), np.int32)
+            btp = np.zeros((self.S, hmax), np.int32)
             for si, (s, b) in enumerate(zip(svs, bits)):
                 svp[si, :len(s)] = s
                 btp[si, :len(b)] = b
@@ -1013,7 +1050,7 @@ class DeviceFFV1Encoder:
             self.rice_headers = {}
             for key in (True, False):
                 hdrs = []
-                for si in range(p.slice_count):
+                for si in self.slice_ids:
                     c = RangeEncoder()
                     if si == 0:
                         key_state = np.array([128], dtype=np.uint8)
@@ -1030,7 +1067,10 @@ class DeviceFFV1Encoder:
             self.ev_cap_max = self.npix + nlines + 8
             self.ev_cap = quantize_cap(self.npix // 4 + 1024,
                                        self.ev_cap_max)
-            self.nwords_max = (self.npix * 3 * 25) // 32 + 8
+            # worst element: the escape path (11 ones + 1 + bits value
+            # bits, vlc_code_word) plus run/ladder elements
+            self.nwords_max = (self.npix * 3 * max(25, p.bits + 13)
+                               ) // 32 + 8
             self.nwords = quantize_cap(self.npix // 16 * 8 + 256,
                                        self.nwords_max, 8)
 
@@ -1088,8 +1128,8 @@ class DeviceFFV1Encoder:
             outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
             ctx = jnp.stack([c for c, _ in outs], axis=2)
             diff = jnp.stack([d for _, d in outs], axis=2)
-            return (ctx.reshape(p.slice_count, -1),
-                    diff.reshape(p.slice_count, -1))
+            return (ctx.reshape(self.S, -1),
+                    diff.reshape(self.S, -1))
         ctx_parts, diff_parts = [], []
         for li, prects in enumerate(self.crop_plan):
             x0, y0, w, h = prects[0][0], prects[0][1], prects[0][2], prects[0][3]
@@ -1100,10 +1140,122 @@ class DeviceFFV1Encoder:
             fn = functools.partial(plane_context_diff, qt=self.qt,
                                    bits=p.bits, five=self.five)
             ctx, diff = jax.vmap(fn)(crops)
-            ctx_parts.append(ctx.reshape(p.slice_count, -1))
-            diff_parts.append(diff.reshape(p.slice_count, -1))
+            ctx_parts.append(ctx.reshape(self.S, -1))
+            diff_parts.append(diff.reshape(self.S, -1))
         return (jnp.concatenate(ctx_parts, axis=1),
                 jnp.concatenate(diff_parts, axis=1))
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _phase_a_rct(self, planes, byc, ryc):
+        """RGB phase A with PER-SLICE RCT coefficients (version 4;
+        byc/ryc (S,) int32 from the device cost search below).  Same
+        stream layout as _phase_a's fixed-1,1 branch."""
+        from .tpu import plane_context_diff, _wrap16
+        p = self.p
+        rects = self.crop_plan[0]
+        swap = (not p.use32bit and not p.transparency and p.bits > 8)
+        order = ((1, 0, 2) if swap else (0, 1, 2)) \
+            + ((3,) if p.transparency else ())
+        crops = [jnp.stack([
+            jax.lax.dynamic_slice(planes[k], (y, x), (h, w))
+            for (x, y, w, h) in rects]).astype(jnp.int32)
+            for k in order]
+        g, b, r = crops[0], crops[1], crops[2]
+        offset = 1 << max(p.bits, 8)
+        b2 = b - g
+        r2 = r - g
+        g2 = g + ((b2 * byc[:, None, None]
+                   + r2 * ryc[:, None, None]) >> 2)
+        coded = [g2, b2 + offset, r2 + offset] \
+            + ([crops[3]] if p.transparency else [])
+        fn = functools.partial(plane_context_diff, qt=self.qt,
+                               bits=self.code_bits, five=self.five)
+        outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
+        ctx = jnp.stack([c for c, _ in outs], axis=2)
+        diff = jnp.stack([d for _, d in outs], axis=2)
+        return (ctx.reshape(self.S, -1), diff.reshape(self.S, -1))
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _rct_cost_parts(self, planes):
+        """Per-slice per-candidate RCT cost partials (S, 15, hp-1):
+        int32 ROW sums of |bg + ((br*ry + bb*by) >> 2)| over the second
+        differences (choose_rct_params, ffv1enc.c:963-1043; scalar
+        oracle in ffv1/rct.py).  Row-sized partials keep every partial
+        within int32; the host combines rows in Python bignum, so the
+        total matches the reference's uint64 arithmetic exactly."""
+        rects = self.crop_plan[0]
+        crops = [jnp.stack([
+            jax.lax.dynamic_slice(planes[k], (y, x), (h, w))
+            for (x, y, w, h) in rects]).astype(jnp.int32)
+            for k in (0, 1, 2)]
+        g, b, r = crops
+
+        def hdiff(p_):
+            return jnp.concatenate(
+                [p_[:, :, :1], p_[:, :, 1:] - p_[:, :, :-1]], axis=2)
+
+        ag, ab, ar = hdiff(g), hdiff(b), hdiff(r)
+        bg = ag[:, 1:, 1:] - ag[:, :-1, 1:]
+        bb = ab[:, 1:, 1:] - ab[:, :-1, 1:]
+        br = ar[:, 1:, 1:] - ar[:, :-1, 1:]
+        br = br - bg
+        bb = bb - bg
+        from .rct import RCT_Y_COEFF
+        outs = []
+        for (ry, by) in RCT_Y_COEFF:
+            cost = jnp.abs(bg + ((br * ry + bb * by) >> 2))
+            outs.append(jnp.sum(cost, axis=2))
+        return jnp.stack(outs, axis=1)
+
+    def _pick_rct(self, planes_dev):
+        """Device cost reduction + host argmin (first strict minimum,
+        matching the reference's `<` scan) -> [(by, ry)] per slice."""
+        from .rct import RCT_Y_COEFF
+        rects = self.crop_plan[0]
+        if rects[0][3] < 2 or rects[0][2] < 2:
+            return [(1, 1)] * self.S
+        parts = np.asarray(self._rct_cost_parts(planes_dev))
+        totals = parts.astype(object).sum(axis=2)     # exact bignum
+        out = []
+        for li in range(self.S):
+            stats = totals[li]
+            best = 0
+            for i in range(1, len(RCT_Y_COEFF)):
+                if stats[i] < stats[best]:
+                    best = i
+            ry, by = RCT_Y_COEFF[best]
+            out.append((by, ry))
+        return out
+
+    def _prefix_for_rct(self, keyframe: bool, rct_list):
+        """Slice-header prefixes carrying the chosen per-slice RCT
+        coefficients; hmax is bucketed to 16 so the downstream window
+        jit keeps a stable shape across frames."""
+        key = (keyframe, tuple(rct_list))
+        hit = self._rct_prefix_cache.get(key)
+        if hit is not None:
+            return hit
+        p = self.p
+        rects = p.rects()
+        svs, bits = [], []
+        for li, si in enumerate(self.slice_ids):
+            ss = SliceState(p)
+            ss.slice_rct_by, ss.slice_rct_ry = rct_list[li]
+            sv, bit = plan_slice_prefix(p, ss, si, rects[si], keyframe)
+            svs.append(sv)
+            bits.append(bit)
+        hmax = -(-max(len(s) for s in svs) // 16) * 16
+        svp = np.zeros((self.S, hmax), np.int32)
+        btp = np.zeros((self.S, hmax), np.int32)
+        for li, (s, b) in enumerate(zip(svs, bits)):
+            svp[li, :len(s)] = s
+            btp[li, :len(b)] = b
+        hlen = np.array([len(s) for s in svs], np.int32)
+        val = (jnp.asarray(svp), jnp.asarray(btp), jnp.asarray(hlen))
+        if len(self._rct_prefix_cache) > 64:
+            self._rct_prefix_cache.clear()
+        self._rct_prefix_cache[key] = val
+        return val
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _phase_a_rice(self, planes):
@@ -1122,9 +1274,9 @@ class DeviceFFV1Encoder:
             ctx, diff = jax.vmap(fn)(crops)
             ctx_pl.append(ctx)
             diff_pl.append(diff)
-        streams = build_rice_streams(ctx_pl, diff_pl)
+        streams = build_rice_streams(ctx_pl, diff_pl, pb=self._rice_pb)
         ctx = jnp.concatenate(
-            [c.reshape(p.slice_count, -1) for c in ctx_pl], axis=1)
+            [c.reshape(self.S, -1) for c in ctx_pl], axis=1)
         return ctx, streams
 
     # -- golomb-rice pipeline stages ---------------------------------------
@@ -1142,7 +1294,8 @@ class DeviceFFV1Encoder:
     def _s_rice_layout_impl(self, ctx, payload, tiles_cap, cellrows_cap):
         row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
         plan = layout_plan(row_local, payload, self.rows_per_slice,
-                           tiles_cap * 128, tiles_cap, payload_bits=13)
+                           tiles_cap * 128, tiles_cap,
+                           payload_bits=self._rice_pb + 1)
         lim = cellrows_cap - 1024
         plan["tile_bases"] = jnp.minimum(plan["tile_bases"], lim)
         plan["tile_caps"] = jnp.minimum(
@@ -1236,7 +1389,7 @@ class DeviceFFV1Encoder:
             code_cells, vcanon, psizes = self._s_vlc_walk(
                 ch1c, plan, vcanon0, keyframe, self.tiles_cap)
             vlc_codes = self._s_rice_unsort(
-                code_cells, ch2c, p.slice_count, self.sortrows_cap)
+                code_cells, ch2c, self.S, self.sortrows_cap)
             by, nbits, n_lad = self._s_rice_bits(
                 streams, vlc_codes, self.ev_cap, self.nwords)
             rows, tiles, slots = (int(v) for v in np.asarray(psizes))
@@ -1270,24 +1423,17 @@ class DeviceFFV1Encoder:
         self.vcanon = vcanon
         by_h = np.asarray(by)
         hdrs = self.rice_headers[keyframe]
-        chunks = []
-        for si in range(p.slice_count):
-            nby = (int(nb[si]) + 7) // 8
-            data = hdrs[si] + by_h[si, :nby].tobytes()
-            if si > 0 or p.version > 2:
-                assert len(data) < (1 << 24)
-                data += len(data).to_bytes(3, "big")
-                if p.ec:
-                    data += b"\x00"
-                    data += crc32_trailer(data)
-            chunks.append(data)
-        self.picture_number += 1
-        return b"".join(chunks)
+        return [hdrs[li] + by_h[li, :(int(nb[li]) + 7) // 8].tobytes()
+                for li in range(self.S)]
 
     def _pipeline(self, planes, canonical, keyframe: bool, caps=None,
-                  ev_words=None):
-        ctx, diff = self._phase_a(planes)
-        svp, btp, hlen = self.prefix[keyframe]
+                  ev_words=None, prefix=None, rct=None):
+        if rct is not None:
+            ctx, diff = self._phase_a_rct(planes, *rct)
+        else:
+            ctx, diff = self._phase_a(planes)
+        svp, btp, hlen = prefix if prefix is not None \
+            else self.prefix[keyframe]
         return self.ops_from_streams(ctx, diff, canonical, svp, btp, hlen,
                                      keyframe, caps, ev_words)
 
@@ -1611,10 +1757,52 @@ class DeviceFFV1Encoder:
         keyframe = (gop == 0 or self.picture_number % gop == 0)
         if force_keyframe is not None:
             keyframe = bool(force_keyframe)
+        if self._banks is not None:
+            # non-uniform geometry: one pipeline per slice-shape group,
+            # packet assembled in global slice order
+            chunks = [None] * p.slice_count
+            for bank in self._banks:
+                datas = bank._encode_frame_data(planes, keyframe)
+                for li, si in enumerate(bank.slice_ids):
+                    chunks[si] = datas[li]
+            self.picture_number += 1
+            return self._finish_packet(chunks)
+        datas = self._encode_frame_data(planes, keyframe)
+        chunks = [None] * p.slice_count
+        for li, si in enumerate(self.slice_ids):
+            chunks[si] = datas[li]
+        self.picture_number += 1
+        return self._finish_packet(chunks)
+
+    def _finish_packet(self, chunks) -> bytes:
+        """Per-GLOBAL-slice raw data -> packet: 3-byte BE size trailer +
+        optional CRC per slice (ffv1enc.c:1236-1262 layout)."""
+        p = self.p
+        out = []
+        for si, data in enumerate(chunks):
+            if si > 0 or p.version > 2:
+                assert len(data) < (1 << 24)
+                data += len(data).to_bytes(3, "big")
+                if p.ec:
+                    data += b"\x00"
+                    data += crc32_trailer(data)
+            out.append(data)
+        return b"".join(out)
+
+    def _encode_frame_data(self, planes, keyframe: bool) -> list:
+        """This bank's slices -> list of raw slice payloads (local
+        order, no trailers)."""
+        p = self.p
         if self.golomb:
             return self._encode_rice(planes, keyframe)
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         canon0 = self.canonical
+        prefix = rct = None
+        if self._v4rgb:
+            rct_list = self._pick_rct(dev)
+            prefix = self._prefix_for_rct(keyframe, rct_list)
+            rct = (jnp.asarray([b for b, _ in rct_list], jnp.int32),
+                   jnp.asarray([r for _, r in rct_list], jnp.int32))
         # On TPU: optimistic single-sync frame — run the WHOLE pipeline
         # (steps = op_cap, a static shape, so the coder launch needs no
         # host peek at n_ops) and validate every overflow signal from
@@ -1628,7 +1816,8 @@ class DeviceFFV1Encoder:
             opw, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
                 (self.tiles_cap, self.cellrows_cap, self.op_cap,
-                 self.sortrows_cap), self.unsort_words)
+                 self.sortrows_cap), self.unsort_words,
+                prefix=prefix, rct=rct)
             if single_sync:
                 steps = int(opw.shape[1])
                 by, ln, fcm = self._code_render(opw, steps,
@@ -1637,7 +1826,7 @@ class DeviceFFV1Encoder:
                     jnp.concatenate([sizes, ln, fcm[None]]))
                 rows, tiles, slots, opmax, maxc = (
                     int(v) for v in sizes_h[:5])
-                ln_h = sizes_h[5:5 + p.slice_count]
+                ln_h = sizes_h[5:5 + self.S]
                 fcm_h = int(sizes_h[-1])
             else:
                 rows, tiles, slots, opmax, maxc = (
@@ -1711,18 +1900,8 @@ class DeviceFFV1Encoder:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
         by_h = np.asarray(by)
-        chunks = []
-        for si in range(p.slice_count):
-            data = by_h[si, :int(ln_h[si])].tobytes()
-            if si > 0 or p.version > 2:
-                assert len(data) < (1 << 24)
-                data += len(data).to_bytes(3, "big")
-                if p.ec:
-                    data += b"\x00"
-                    data += crc32_trailer(data)
-            chunks.append(data)
-        self.picture_number += 1
-        return b"".join(chunks)
+        return [by_h[li, :int(ln_h[li])].tobytes()
+                for li in range(self.S)]
 
     # -- all-intra batch encode --------------------------------------------
     #
@@ -1737,7 +1916,7 @@ class DeviceFFV1Encoder:
             self._bstate = {}
         if B not in self._bstate:
             p = self.p
-            n = B * p.slice_count * self.npix
+            n = B * self.S * self.npix
             chains = B * self.n_chain_rows
             n_buckets = self.npix // GCAP + 2
             tiles_max = (n // GCAP + 2 * n_buckets + chains // 128 + 8)
@@ -1773,8 +1952,16 @@ class DeviceFFV1Encoder:
         returns their packets.  Does not touch the session's inter-frame
         context state."""
         p = self.p
+        if self._banks is not None:
+            raise NotImplementedError(
+                "batch encode with a non-uniform slice geometry: use "
+                "encode() (per-shape banks) or a uniform frame size")
+        if self._v4rgb:
+            raise NotImplementedError(
+                "batch encode with v4 RGB: the per-slice RCT search "
+                "re-plans headers per frame; use encode()")
         B = len(frames_list)
-        S = p.slice_count
+        S = self.S
         dev = [[jnp.asarray(np.asarray(pl), jnp.int32) for pl in f]
                for f in frames_list]
         st = self._batch_state(B)

@@ -236,8 +236,10 @@ def vlc_adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
         s = jnp.where(is_start, loaded, s)
         cur_tile = jnp.where(is_start, tile_here, cur_tile)
 
-        v0 = (row & 0xFFF) - 2048
-        live = (((row >> 13) & 1) == 1) & (((row >> 12) & 1) == 0)
+        pb = 12 if bits <= 12 else 16      # payload diff-field width
+        v0 = (row & ((1 << pb) - 1)) - (1 << (pb - 1))
+        live = ((((row >> (pb + 1)) & 1) == 1)
+                & (((row >> pb) & 1) == 0))
         drift, es, bias, count = s[0], s[1], s[2], s[3]
         length, val, v = vlc_code_word(v0, drift, es, bias, count, bits)
         nd, ne, nb, nc = vlc_update(drift, es, bias, count, v)
@@ -320,22 +322,23 @@ def assemble_bits(lens, vals, nwords: int):
 # the vlc walk output, and assemble_bits)
 # ---------------------------------------------------------------------------
 
-def build_rice_streams(ctx_planes, diff_planes):
+def build_rice_streams(ctx_planes, diff_planes, pb: int = 12):
     """Per-plane (S, h, w) |context| / folded-diff grids -> stream-order
     (S, npix) arrays for the rice pipeline.
 
-    Returns dict: payload ((diff_adj+2048) | silent<<12, the vlc-walk
-    cell word before the layout adds the valid flag), lad (bool, pixel
-    carries a ladder event — run end or line flush), cnt (the ladder
-    count), flush (bool), plane (plane index per stream pos).
+    Returns dict: payload ((diff_adj + 2^(pb-1)) | silent<<pb, the
+    vlc-walk cell word before the layout adds the valid flag at
+    pb+1), lad (bool, pixel carries a ladder event — run end or line
+    flush), cnt (the ladder count), flush (bool), plane (plane index
+    per stream pos).  pb = 12 covers bits <= 12; 16 covers 13..16.
     """
     i32 = jnp.int32
     pays, lads, cnts, flushes, planes = [], [], [], [], []
     for li, (ctx, diff) in enumerate(zip(ctx_planes, diff_planes)):
         pr = plan_runs_plane(ctx, diff)
         S = diff.shape[0]
-        pay = (((pr["diff_adj"] + 2048) & 0xFFF)
-               | (pr["silent"].astype(i32) << 12))
+        pay = (((pr["diff_adj"] + (1 << (pb - 1))) & ((1 << pb) - 1))
+               | (pr["silent"].astype(i32) << pb))
         lad = pr["event"] | pr["flush"]
         cnt = jnp.where(pr["flush"], pr["flush_count"], pr["run_count"])
         pays.append(pay.reshape(S, -1))
@@ -474,8 +477,10 @@ def _vlc_kernel(caps_ref, bases_ref, preds_ref,
 
             def step(t, s):
                 row = in_scr[t, :][None, :]           # (1, 128)
-                v0 = (row & 0xFFF) - 2048
-                live = (((row >> 13) & 1) * (1 - ((row >> 12) & 1))
+                pb = 12 if bits <= 12 else 16
+                v0 = (row & ((1 << pb) - 1)) - (1 << (pb - 1))
+                live = (((row >> (pb + 1)) & 1)
+                        * (1 - ((row >> pb) & 1))
                         * ((c * VLC_CHUNK + t) < cap).astype(jnp.int32))
                 drift, es, bias, count = (s[0:1], s[1:2], s[2:3], s[3:4])
                 mask = (1 << bits) - 1

@@ -71,6 +71,12 @@ class ParallelFFV1Encoder:
             use_pallas = jax.default_backend() == "tpu"
         self.enc = DeviceFFV1Encoder(width, height, pix_fmt, cfg,
                                      use_pallas=use_pallas)
+        if self.enc._banks is not None:
+            raise NotImplementedError(
+                "ParallelFFV1Encoder: non-uniform slice geometry (the "
+                "sharded stream layout needs one crop shape); use a "
+                "frame size divisible by the slice grid, or the "
+                "single-device DeviceFFV1Encoder (shape banks)")
         enc, p = self.enc, self.enc.p
         self.p = p
         self.cfg = cfg
@@ -168,7 +174,8 @@ class ParallelFFV1Encoder:
             [c.reshape(S_local, -1) for c in ctx_pl], axis=1)
         if self.golomb:
             from ..ffv1.device_rice import build_rice_streams
-            return ctx, None, build_rice_streams(ctx_pl, diff_pl)
+            return ctx, None, build_rice_streams(ctx_pl, diff_pl,
+                                                 pb=enc._rice_pb)
         diff = jnp.concatenate(
             [d.reshape(S_local, -1) for d in diff_pl], axis=1)
         return ctx, diff, None

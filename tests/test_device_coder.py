@@ -478,3 +478,76 @@ def test_device_encoder_versions_byte_exact(level, coder, slices):
         b = nat.encode(planes, key)
         assert a == b, f"v{level} coder={coder} frame {t}: " \
             f"{len(a)} vs {len(b)} bytes"
+
+
+@pytest.mark.parametrize("pix,wh,coder,banked", [
+    ("yuv420p", (34, 34), 1, False),   # FATE vsynth3 geometry: chroma
+    ("yuv420p", (34, 34), 0, False),   # rects OVERLAP but stay uniform
+    ("yuv420p", (35, 33), 1, True),    # odd luma: 17/18 x 16/17 rects
+    ("yuv420p", (35, 33), 0, True),    # rice banks
+    ("bgr0", (35, 33), 1, True),       # RGB banks (full-res planes)
+])
+def test_device_encoder_nonuniform_geometry(pix, wh, coder, banked):
+    """Non-uniform slice rects (ff_ffv1_init_slice_contexts floor/ceil
+    boundaries, ffv1.c:117): the device coder partitions slices into
+    uniform-shape banks and assembles the packet in global slice
+    order — byte-exact vs native, key + inter."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(41)
+    w, h = wh
+    cfg = FFV1Config(level=3, coder=coder, slices=4, slicecrc=1)
+    p = params_from_config(cfg, pix, w, h)
+    dev = DeviceFFV1Encoder(w, h, pix, cfg, use_pallas=False)
+    assert (dev._banks is not None and len(dev._banks) > 1) == banked
+    nat = NativeFFV1Codec(p)
+    if pix == "bgr0":
+        shapes = [(h, w)] * 3
+    else:
+        shapes = [(h, w), ((h + 1) // 2, (w + 1) // 2),
+                  ((h + 1) // 2, (w + 1) // 2)]
+    dec = NativeFFV1Codec(p)
+    dec2 = NativeFFV1Codec(p)
+    for t in range(3):
+        planes = [rng.randint(0, 256, s).astype(np.int32) for s in shapes]
+        key = t == 0
+        a = dev.encode(planes, force_keyframe=key)
+        b = nat.encode(planes, key)
+        assert a == b, f"{pix} frame {t}: {len(a)} vs {len(b)} bytes"
+        # odd-width chroma: the slice grid's floor/ceil rects may leave
+        # the last ceil-rounded column uncoded (host parity behavior),
+        # so compare against the native round trip, not the raw input
+        for x, y in zip(dec.decode(a), dec2.decode(b)):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_device_encoder_v4_rgb_rct_search():
+    """v4 RGB: the per-slice RCT coefficient search runs on device
+    (15-candidate L1 over second differences, ffv1enc.c:963-1043) and
+    the per-frame slice-header prefixes carry the chosen coefficients —
+    byte-exact vs native across frames picking different candidates."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(17)
+    w, h = 64, 48
+    cfg = FFV1Config(level=4, coder=1, slices=4, slicecrc=1)
+    p = params_from_config(cfg, "bgr0", w, h)
+    dev = DeviceFFV1Encoder(w, h, "bgr0", cfg, use_pallas=False)
+    assert dev._v4rgb
+    nat = NativeFFV1Codec(p)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(3):
+        # channel-correlated content so the candidate search is
+        # non-trivial and varies across slices/frames
+        g = ((xx * 3 + yy * 2 + 11 * t) % 256).astype(np.int32)
+        b = ((g * 2 + rng.randint(0, 6, (h, w))) % 256).astype(np.int32)
+        r = ((g + xx + rng.randint(0, 3, (h, w))) % 256).astype(np.int32)
+        if t == 2:
+            g = rng.randint(0, 256, (h, w)).astype(np.int32)
+            b = rng.randint(0, 256, (h, w)).astype(np.int32)
+            r = rng.randint(0, 256, (h, w)).astype(np.int32)
+        planes = [g, b, r]
+        key = t == 0
+        a = dev.encode(planes, force_keyframe=key)
+        bb = nat.encode(planes, key)
+        assert a == bb, f"frame {t}: {len(a)} vs {len(bb)} bytes"
