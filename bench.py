@@ -104,13 +104,23 @@ def bench_decode(frames, w, h, gop, n_frames):
     emit("ffv1_1080p_decode_native", mp)
 
     from ffmpeg_ffv2_tpu.ffv1.batched import BatchedFFV1Decoder
-    bd = BatchedFFV1Decoder(p)
+    bd = BatchedFFV1Decoder(p, mode="gop")
     keys = [gop(t) for t in range(n_frames)]
     bd.decode_all(pkts[:2], keys[:2])
     t0 = time.perf_counter()
     bd.decode_all(pkts, keys)
     mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
     emit("ffv1_1080p_decode_batched_gop", mp)
+
+    # slice-column frame pipeline (the frame-thread analogue): scales
+    # with min(threads, slices) on inter-heavy streams, no GOP splits
+    nthr = os.cpu_count() or 1
+    pd = NativeFFV1Codec(p, nthr)
+    pd.decode_pipelined(pkts[:2])
+    t0 = time.perf_counter()
+    pd.decode_pipelined(pkts)
+    mp = n_frames * w * h / (time.perf_counter() - t0) / 1e6
+    emit("ffv1_1080p_decode_pipelined", mp, threads=nthr)
 
 
 def bench_4k(n_frames, gop):

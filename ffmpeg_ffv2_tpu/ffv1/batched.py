@@ -1,20 +1,21 @@
-"""Frame-pipelined FFV1 decode: GOPs across workers, slices within.
+"""Frame-pipelined FFV1 decode.
 
 The reference overlaps frames with frame threads plus per-slice progress
 sync (pthread_frame.c:473,558; ffv1dec.c:1042-1085 update_thread_context)
 because its decoder contexts carry adaptive state across non-key frames.
-The same dependency structure, expressed without progress counters:
-state only flows *within* a GOP (keyframes reset every slice's contexts,
-ffv1.c:182), so GOPs are fully independent decode units.  This decoder
-splits the packet stream at keyframes and decodes whole GOPs in parallel
-— each worker drives its own native session (slice-threaded inside,
-avctx->execute's counterpart), and the ctypes boundary releases the GIL
-so workers genuinely overlap on multi-core hosts.
+Two expressions of that dependency structure live here:
 
-Inter-frame order *within* a GOP stays sequential by construction, which
-is exactly the constraint the reference's await/report dance enforces;
-batching GOPs is the analogue of its frame-thread pipeline for seekable
-(keyframed) streams.
+* slice-column pipelining (default, v>=3): the native runtime streams
+  each slice column through ALL frames — slice s of frame t+1 runs
+  right after slice s of frame t on the same worker, which is exactly
+  the constraint the reference's await/report dance enforces, with zero
+  synchronisation and cache-hot context state.  Consecutive *inter*
+  frames decode concurrently; no GOP boundaries required.  See
+  Codec::decode_frames_pipelined (native/ffv1_runtime.cpp).
+
+* GOP batching (v<3 fallback): keyframes reset every slice's contexts
+  (ffv1.c:182), so GOPs are independent decode units; workers decode
+  whole GOPs in parallel, each driving its own native session.
 """
 
 from __future__ import annotations
@@ -35,13 +36,21 @@ class BatchedFFV1Decoder:
     """
 
     def __init__(self, p: FFV1Params, n_workers: int = 0,
-                 n_slice_threads: int = 0):
+                 n_slice_threads: int = 0, mode: str = "auto"):
         import os
         self.p = p
         self.n_workers = n_workers or (os.cpu_count() or 1)
         self.n_slice_threads = n_slice_threads
-        self._sessions = [NativeFFV1Codec(p, n_slice_threads)
-                          for _ in range(self.n_workers)]
+        # slice-column pipelining subsumes GOP batching for v>=3 (the
+        # in-packet slice region table lets slices decode independently)
+        self.mode = ("pipeline" if p.version >= 3 else "gop") \
+            if mode == "auto" else mode
+        if self.mode == "pipeline":
+            self._sessions = [NativeFFV1Codec(
+                p, n_slice_threads or self.n_workers)]
+        else:
+            self._sessions = [NativeFFV1Codec(p, n_slice_threads)
+                              for _ in range(self.n_workers)]
 
     @staticmethod
     def split_gops(packets, keyflags):
@@ -64,6 +73,9 @@ class BatchedFFV1Decoder:
         None = probe from each packet's first rac bit is NOT possible
         without decoding, so default assumes packet 0 starts a GOP and
         relies on the container flags for the rest."""
+        if self.mode == "pipeline":
+            # keyframe bits live in the bitstream; flags not needed
+            return self._sessions[0].decode_pipelined(packets)
         if keyflags is None:
             keyflags = [i == 0 for i in range(len(packets))]
         gops = self.split_gops(packets, keyflags)

@@ -77,6 +77,12 @@ def get_lib():
         lib.ffv1rt_decode.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_void_p)]
+        lib.ffv1rt_decode_pipelined.restype = ctypes.c_int32
+        lib.ffv1rt_decode_pipelined.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
         lib.ffv1rt_slice_damaged.restype = ctypes.c_int32
         lib.ffv1rt_slice_damaged.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.ffv1rt_encode_sym.restype = ctypes.c_int64
@@ -221,6 +227,51 @@ class NativeFFV1Codec:
             len(packet), ptrs)
         if ret < 0:
             raise ValueError(f"native decode failed ({ret})")
+        return outs
+
+    def _plane_shapes(self):
+        p = self.p
+        if p.colorspace == 0:
+            shapes = [(p.height, p.width)]
+            if p.chroma_planes:
+                cw = -(-p.width >> p.chroma_h_shift)
+                ch = -(-p.height >> p.chroma_v_shift)
+                shapes += [(ch, cw), (ch, cw)]
+            if p.transparency:
+                shapes.append((p.height, p.width))
+            return shapes
+        return [(p.height, p.width)] * (3 + (1 if p.transparency else 0))
+
+    def decode_pipelined(self, packets):
+        """Frame-pipelined decode of a packet sequence (the reference's
+        frame-thread analogue, pthread_frame.c:473/558 + ffv1dec.c
+        per-slice progress): the native runtime streams each slice
+        column through all frames, so consecutive inter frames decode
+        concurrently on min(threads, slices) cores — no GOP boundaries
+        needed.  Keyframe flags are read from the bitstream itself.
+        Returns a list of frames (list of int32 planes each)."""
+        n = len(packets)
+        shapes = self._plane_shapes()
+        np_ = len(shapes)
+        outs = [[np.zeros(s, dtype=np.int32) for s in shapes]
+                for _ in range(n)]
+        bufs = [np.frombuffer(pk, dtype=np.uint8) for pk in packets]
+        pkt_ptrs = (ctypes.c_void_p * n)(
+            *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs])
+        sizes = (ctypes.c_int64 * n)(*[len(pk) for pk in packets])
+        plane_ptrs = (ctypes.c_void_p * (n * np_))(
+            *[a.ctypes.data_as(ctypes.c_void_p)
+              for fr in outs for a in fr])
+        status = (ctypes.c_int32 * n)()
+        ret = self.lib.ffv1rt_decode_pipelined(
+            self.handle,
+            ctypes.cast(pkt_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            sizes, n,
+            ctypes.cast(plane_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            np_, status)
+        if ret < 0:
+            raise ValueError(f"native pipelined decode failed ({ret})")
+        self.last_status = list(status)
         return outs
 
     def enable_stats(self):

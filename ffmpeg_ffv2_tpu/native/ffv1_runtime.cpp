@@ -2166,6 +2166,78 @@ struct Codec {
 
     // ---- decode ----
 
+    struct Region { int64_t off, len; };
+
+    // One slice of one frame.  main_c = the packet-head range coder just
+    // past the keyframe bit (slice 0 continues it — the reference shares
+    // the frame header's coder with slice 0, ffv1dec.c decode_frame).
+    // Returns false if the slice is damaged (CRC, header, or slack).
+    bool decode_slice_impl(int si, const uint8_t* pkt, const Region& reg,
+                           int keyframe, const RangeDec& main_c,
+                           int32_t* const* out_planes) {
+        SliceState& ss = slices[si];
+        ss.damaged = false;
+        const uint8_t* sp = pkt + reg.off;
+        size_t slen = (size_t)reg.len;
+        if (p.ec && g_crc.run(sp, slen) != 0) return false;
+        RangeDec sc;
+        if (si == 0) {
+            sc = main_c;
+            sc.end = (size_t)(reg.off + reg.len);
+        } else {
+            sc.init(sp, slen);
+        }
+        if (p.ac == AC_RANGE_CUSTOM) sc.tab = &custom_tab;
+
+        ss.rct_by = ss.rct_ry = 1;
+        ss.coding_mode = 0;
+        Rect r = slice_rect(p, si);
+        if (p.version > 2) {
+            if (!read_slice_header(sc, p, ss, r)) return false;
+        }
+        if (keyframe || ss.reset_contexts) ss.clear(p);
+
+        BitReader gb;
+        if (p.ac == AC_GOLOMB) {
+            if ((p.version == 3 && p.micro_version > 1) || p.version > 3)
+                sc.get_fixed(129);
+            size_t start =
+                (p.version > 2 || si == 0) ? sc.pos - 1 : 0;
+            gb.init(sc.buf, sc.end, start);
+        }
+
+        auto pv = slice_views(r, nullptr, out_planes);
+        bool good;
+        if (p.colorspace == 0) {
+            good = decode_plane_t<int16_t>(p, ss, sc, gb, pv[0], 0,
+                                           p.bits);
+            if (good && p.chroma_planes)
+                good = decode_plane_t<int16_t>(p, ss, sc, gb, pv[1], 1,
+                                               p.bits) &&
+                       decode_plane_t<int16_t>(p, ss, sc, gb, pv[2], 1,
+                                               p.bits);
+            if (good && p.transparency) {
+                int pi = (p.version >= 4 && !p.chroma_planes) ? 1 : 2;
+                good = decode_plane_t<int16_t>(p, ss, sc, gb, pv.back(),
+                                               pi, p.bits);
+            }
+        } else if (p.use32bit) {
+            good = decode_rgb_t<int32_t>(p, ss, sc, gb, pv.data(),
+                                         (int)pv.size(), p.bits);
+        } else {
+            good = decode_rgb_t<int16_t>(p, ss, sc, gb, pv.data(),
+                                         (int)pv.size(), p.bits);
+        }
+        if (!good) return false;
+        if (p.ac != AC_GOLOMB && p.version > 2) {
+            sc.get_fixed(129);
+            int64_t slack =
+                (int64_t)sc.end - (int64_t)sc.pos - 2 - 5 * p.ec;
+            if (slack) return false;
+        }
+        return true;
+    }
+
     int decode_frame(const uint8_t* pkt, int64_t size,
                      int32_t* const* out_planes) {
         RangeDec c;
@@ -2194,7 +2266,6 @@ struct Codec {
         const int n_slices = (int)slices.size();
         const int trailer = 3 + 5 * (p.ec ? 1 : 0);
 
-        struct Region { int64_t off, len; };
         std::vector<Region> regions;
         if (p.version >= 3) {
             int64_t end = size;
@@ -2215,75 +2286,8 @@ struct Codec {
         std::vector<int> ok(n_slices, 1);
 
         auto decode_one = [&](int si) {
-            SliceState& ss = slices[si];
-            ss.damaged = false;
-            const uint8_t* sp = pkt + regions[si].off;
-            size_t slen = (size_t)regions[si].len;
-            if (p.ec && g_crc.run(sp, slen) != 0) {
-                ok[si] = 0;
-                return;
-            }
-            RangeDec sc;
-            if (si == 0) {
-                sc = c;
-                sc.end = (size_t)(regions[0].off + regions[0].len);
-            } else {
-                sc.init(sp, slen);
-            }
-            if (p.ac == AC_RANGE_CUSTOM) sc.tab = &custom_tab;
-
-            ss.rct_by = ss.rct_ry = 1;
-            ss.coding_mode = 0;
-            Rect r = slice_rect(p, si);
-            if (p.version > 2) {
-                if (!read_slice_header(sc, p, ss, r)) {
-                    ok[si] = 0;
-                    return;
-                }
-            }
-            if (keyframe || ss.reset_contexts) ss.clear(p);
-
-            BitReader gb;
-            if (p.ac == AC_GOLOMB) {
-                if ((p.version == 3 && p.micro_version > 1) || p.version > 3)
-                    sc.get_fixed(129);
-                size_t start =
-                    (p.version > 2 || si == 0) ? sc.pos - 1 : 0;
-                gb.init(sc.buf, sc.end, start);
-            }
-
-            auto pv = slice_views(r, nullptr, out_planes);
-            bool good;
-            if (p.colorspace == 0) {
-                good = decode_plane_t<int16_t>(p, ss, sc, gb, pv[0], 0,
-                                               p.bits);
-                if (good && p.chroma_planes)
-                    good = decode_plane_t<int16_t>(p, ss, sc, gb, pv[1], 1,
-                                                   p.bits) &&
-                           decode_plane_t<int16_t>(p, ss, sc, gb, pv[2], 1,
-                                                   p.bits);
-                if (good && p.transparency) {
-                    int pi = (p.version >= 4 && !p.chroma_planes) ? 1 : 2;
-                    good = decode_plane_t<int16_t>(p, ss, sc, gb, pv.back(),
-                                                   pi, p.bits);
-                }
-            } else if (p.use32bit) {
-                good = decode_rgb_t<int32_t>(p, ss, sc, gb, pv.data(),
-                                             (int)pv.size(), p.bits);
-            } else {
-                good = decode_rgb_t<int16_t>(p, ss, sc, gb, pv.data(),
-                                             (int)pv.size(), p.bits);
-            }
-            if (!good) {
-                ok[si] = 0;
-                return;
-            }
-            if (p.ac != AC_GOLOMB && p.version > 2) {
-                sc.get_fixed(129);
-                int64_t slack =
-                    (int64_t)sc.end - (int64_t)sc.pos - 2 - 5 * p.ec;
-                if (slack) ok[si] = 0;
-            }
+            ok[si] = decode_slice_impl(si, pkt, regions[si], keyframe, c,
+                                       out_planes) ? 1 : 0;
         };
 
         if (n_threads > 1 && n_slices > 1) {
@@ -2334,6 +2338,128 @@ struct Codec {
         for (auto& s : slices)
             if (s.damaged) any_damaged = 1;
         return any_damaged ? 1 : 0;
+    }
+
+    // Frame-pipelined decode — the frame-thread analogue
+    // (pthread_frame.c:473,558; ffv1dec.c progress waits): consecutive
+    // frames decode concurrently, slice s of frame t+1 gated on slice s
+    // of frame t (adaptive contexts carry across non-key frames; slices
+    // never read across slice boundaries).  Expressed as slice-column
+    // chains: a worker owns whole slices and streams through the frames,
+    // so the per-slice order constraint costs zero synchronisation and
+    // the slice's context state stays hot in cache.  Scales with
+    // min(threads, slices) even inside a single GOP — unlike GOP
+    // batching, an all-inter stream parallelises fully.  v<3 packets
+    // (single region, v0/1 in-band relayout headers) fall back to the
+    // sequential path.
+    int decode_frames_pipelined(const uint8_t* const* pkts,
+                                const int64_t* sizes, int n_frames,
+                                int32_t* const* outs, int n_planes,
+                                int32_t* status) {
+        auto layout = plane_layout();
+        if ((int)layout.size() != n_planes) return -3;
+        if (p.version < 3) {
+            for (int t = 0; t < n_frames; t++)
+                status[t] = decode_frame(pkts[t], sizes[t],
+                                         outs + (size_t)t * n_planes);
+            return 0;
+        }
+        const int n_slices = (int)slices.size();
+        const int trailer = 3 + 5 * (p.ec ? 1 : 0);
+        // sequential prologue: keyframe bit + slice region table walk
+        // per frame (cheap — no entropy decode)
+        std::vector<std::vector<Region>> regions(n_frames);
+        std::vector<RangeDec> c0(n_frames);
+        std::vector<int> keyf(n_frames), valid(n_frames, 1);
+        for (int t = 0; t < n_frames; t++) {
+            RangeDec c;
+            c.tab = &default_tables();
+            c.init(pkts[t], (size_t)sizes[t]);
+            uint8_t key_state = 128;
+            keyf[t] = c.get(&key_state);
+            if (keyf[t]) key_frame_ok = true;
+            else if (!key_frame_ok) valid[t] = 0;
+            int64_t end = sizes[t];
+            auto& rg = regions[t];
+            const uint8_t* pkt = pkts[t];
+            while ((int)rg.size() < 1024 && trailer < end) {
+                int64_t sz = ((int64_t)pkt[end - trailer] << 16) |
+                             ((int64_t)pkt[end - trailer + 1] << 8) |
+                             pkt[end - trailer + 2];
+                if (sz + trailer > end) break;
+                rg.push_back({end - sz - trailer, sz + trailer});
+                end -= sz + trailer;
+            }
+            std::reverse(rg.begin(), rg.end());
+            if ((int)rg.size() != n_slices) valid[t] = 0;
+            c0[t] = c;
+        }
+        std::vector<uint8_t> dmg((size_t)n_frames * n_slices, 0);
+        auto run_column = [&](int si) {
+            Rect r = slice_rect(p, si);
+            for (int t = 0; t < n_frames; t++) {
+                int32_t* const* out = outs + (size_t)t * n_planes;
+                bool good = valid[t] &&
+                    decode_slice_impl(si, pkts[t], regions[t][si],
+                                      keyf[t], c0[t], out);
+                if (good) continue;
+                dmg[(size_t)t * n_slices + si] = 1;
+                // conceal from the co-located slice of the previous
+                // frame's output (already complete in this chain)
+                auto dst = slice_views(r, nullptr, out);
+                for (size_t pi = 0; pi < dst.size(); pi++) {
+                    const int32_t* lp = nullptr;
+                    if (t > 0)
+                        lp = outs[(size_t)(t - 1) * n_planes + pi];
+                    else if (pi < last_frame.size() &&
+                             !last_frame[pi].empty())
+                        lp = last_frame[pi].data();
+                    if (!lp) continue;
+                    for (int y = 0; y < dst[pi].h; y++)
+                        std::memcpy(
+                            dst[pi].dst_row(y),
+                            lp + (size_t)(dst[pi].y0 + y) * dst[pi].stride +
+                                dst[pi].x0,
+                            sizeof(int32_t) * dst[pi].w);
+                }
+            }
+        };
+        if (n_threads > 1 && n_slices > 1 && n_frames > 0) {
+            std::vector<std::thread> pool;
+            std::atomic_int next{0};
+            int nt = std::min(n_threads, n_slices);
+            for (int t = 0; t < nt; t++)
+                pool.emplace_back([&] {
+                    for (;;) {
+                        int si = next.fetch_add(1);
+                        if (si >= n_slices) break;
+                        run_column(si);
+                    }
+                });
+            for (auto& th : pool) th.join();
+        } else {
+            for (int si = 0; si < n_slices; si++) run_column(si);
+        }
+        if (n_frames > 0) {
+            for (int si = 0; si < n_slices; si++)
+                slices[si].damaged =
+                    dmg[(size_t)(n_frames - 1) * n_slices + si] != 0;
+            int32_t* const* fin = outs + (size_t)(n_frames - 1) * n_planes;
+            if (last_frame.size() != layout.size())
+                last_frame.assign(layout.size(), {});
+            for (size_t pi = 0; pi < layout.size(); pi++) {
+                size_t n = (size_t)layout[pi].w * layout[pi].h;
+                last_frame[pi].assign(fin[pi], fin[pi] + n);
+            }
+        }
+        for (int t = 0; t < n_frames; t++) {
+            if (!valid[t]) { status[t] = -2; continue; }
+            int any = 0;
+            for (int si = 0; si < n_slices; si++)
+                any |= dmg[(size_t)t * n_slices + si];
+            status[t] = any;
+        }
+        return 0;
     }
 };
 
@@ -2493,6 +2619,16 @@ int64_t ffv1rt_encode(void* h, const int32_t* const* planes, int keyframe,
 int32_t ffv1rt_decode(void* h, const uint8_t* pkt, int64_t size,
                       int32_t* const* out_planes) {
     return static_cast<f2t::Codec*>(h)->decode_frame(pkt, size, out_planes);
+}
+
+// outs = n_frames * n_planes plane pointers (frame-major); status gets
+// one entry per frame (0 clean, 1 concealed slices, -2 bad region table)
+int32_t ffv1rt_decode_pipelined(void* h, const uint8_t* const* pkts,
+                                const int64_t* sizes, int32_t n_frames,
+                                int32_t* const* outs, int32_t n_planes,
+                                int32_t* status) {
+    return static_cast<f2t::Codec*>(h)->decode_frames_pipelined(
+        pkts, sizes, n_frames, outs, n_planes, status);
 }
 
 int64_t ffv1rt_encode_sym(void* h, const int32_t* const* planes,
