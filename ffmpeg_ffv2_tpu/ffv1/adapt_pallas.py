@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .device_coder import lookup_packed, n_sv_words
+from .device_coder import lookup_packed, n_sv_words, payload_field
 
 CHUNK = 512
 
@@ -82,8 +82,9 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
                 # final selects (2-D comparisons, no layout changes)
                 row = in_scr[t, :]
                 if code_bits > 10:
-                    okpx = (row >> 16) & 1
-                    v0 = (row & 0xFFFF) - 32768
+                    _m, _b, _vb = payload_field(code_bits)
+                    okpx = (row >> _vb) & 1
+                    v0 = (row & _m) - _b
                 else:
                     okpx = (row >> 13) & 1
                     v0 = (row & 0xFFF) - 2048

@@ -122,10 +122,21 @@ def quantize_cap(need: int, cap_max: int, gran: int = 1) -> int:
 
 
 def k_max_for_bits(bits: int) -> int:
-    """Worst-case rac ops per pixel: 2*e_max + 3, e_max = bits-1 <= 15."""
-    if bits > 16:
-        raise ValueError("slot-grid expansion needs e <= 15 (bits <= 16)")
+    """Worst-case rac ops per pixel: 2*e_max + 3, e_max = bits-1 <= 16
+    (17 = RGB at 16 bpc, coded at bits+1 — ffv1enc_template.c:193)."""
+    if bits > 17:
+        raise ValueError("slot-grid expansion needs e <= 16 (bits <= 17)")
     return 2 * (bits - 1) + 3
+
+
+def payload_field(code_bits: int) -> tuple[int, int, int]:
+    """(mask, bias, valid_bit) of the cell payload's diff field: 12-bit
+    for coding depths <= 10, 16-bit for 11..16, 17-bit for 17."""
+    if code_bits > 16:
+        return 0x1FFFF, 65536, 17
+    if code_bits > 10:
+        return 0xFFFF, 32768, 16
+    return 0xFFF, 2048, 13
 
 
 def n_sv_words(bits: int) -> int:
@@ -566,14 +577,16 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
     dest_b = (GCAP * (bk + (v >> 7)) + t2) * 128 + (v & 127)
     dest = jnp.where(is_sent, drop,
                      jnp.where((wfill & 1) == 1, dest_b, v + r * 128))
-    # cell channel: biased diff + pixel-valid flag ("wide" = coding
-    # depths 11..16, 16-bit diff field).  payload_bits > 0: ``diff``
-    # already carries an encoded payload (e.g. the rice walk's
-    # diff+2048 | silent<<12); only the valid flag is added.
+    # cell channel: biased diff + pixel-valid flag ("wide" = the valid
+    # bit position, 16 for coding depths 11..16, 17 for depth 17).
+    # payload_bits > 0: ``diff`` already carries an encoded payload
+    # (e.g. the rice walk's diff+2048 | silent<<12); only the valid
+    # flag is added.
     if payload_bits:
         ch1 = diff_s | ((~is_sent).astype(i32) << payload_bits)
     elif wide:
-        ch1 = (diff_s + 32768) | ((~is_sent).astype(i32) << 16)
+        wb = int(wide) if int(wide) > 1 else 16
+        ch1 = (diff_s + (1 << (wb - 1))) | ((~is_sent).astype(i32) << wb)
     else:
         ch1 = (diff_s + 2048) | ((~is_sent).astype(i32) << 13)
     orig = jnp.where(is_sent, drop,
@@ -686,8 +699,9 @@ def adapt_reference(ch1_cells, tile_caps, tile_bases, tile_pred,
         cur_tile = jnp.where(is_start, tile_here, cur_tile)
 
         if code_bits > 10:
-            v = (row & 0xFFFF) - 32768
-            valid_px = ((row >> 16) & 1) == 1
+            _m, _b, _vb = payload_field(code_bits)
+            v = (row & _m) - _b
+            valid_px = ((row >> _vb) & 1) == 1
         else:
             v = (row & 0xFFF) - 2048
             valid_px = ((row >> 13) & 1) == 1
@@ -853,13 +867,14 @@ class DeviceFFV1Encoder:
 
     Covers versions 0/1/3/4, range (ac 1/2) + golomb-rice coders,
     YUV/gray at depths 8..16, RGB/RCT (incl. the v4 per-slice RCT
-    search) at <= 14 bpc, 2-pass custom initial states, and
-    non-uniform slice geometries (via per-shape banks).  Golomb-rice
-    above 8 bits is forced to the range coder by the format itself
-    (ffv1enc.c:702-708; the 16-bit payload field is in place should
-    custom params ever carry it).  Remaining host-only format:
-    RGB >= 15 bpc (int32 sample ring).  use_pallas=False runs the
-    XLA reference path (CPU-testable; also the multichip dryrun path).
+    search) at every depth up to 16 bpc (rgb48: int32 sample ring,
+    17-bit coding depth, 17-bit cell payload field), 2-pass custom
+    initial states, and non-uniform slice geometries (via per-shape
+    banks).  Golomb-rice above 8 bits is forced to the range coder by
+    the format itself (ffv1enc.c:702-708; the 16-bit payload field is
+    in place should custom params ever carry it).  use_pallas=False
+    runs the XLA reference path (CPU-testable; also the multichip
+    dryrun path).
     """
 
     def __init__(self, width: int, height: int, pix_fmt: str,
@@ -904,10 +919,8 @@ class DeviceFFV1Encoder:
         # ffv1enc_template.c:193); depths 11..16 take the slot-repeat
         # sub-step path (R = depth-10 extra masked steps per pixel)
         self.code_bits = max(p.bits, 8) + 1 if p.colorspace == 1 else p.bits
-        if self.code_bits > 16:
-            raise NotImplementedError("device coder: coding depth <= 16")
-        if p.colorspace == 1 and p.use32bit:
-            raise NotImplementedError("device coder: RGB <= 14 bpc")
+        if self.code_bits > 17:
+            raise NotImplementedError("device coder: coding depth <= 17")
         if p.initial_states is not None and self.golomb:
             raise NotImplementedError("initial states are a range-coder "
                                       "feature")
@@ -1123,9 +1136,12 @@ class DeviceFFV1Encoder:
             g2 = g + ((b2 + r2) >> 2)
             coded = [g2, b2 + offset, r2 + offset] \
                 + ([crops[3]] if p.transparency else [])
+            # use32bit (RGB 16 bpc): int32 sample ring, no int16 wrap
+            # (codec_py._Row wb=32; ffv1enc_template.c RGB48 path)
+            wr = (lambda x: x) if p.use32bit else _wrap16
             fn = functools.partial(plane_context_diff, qt=self.qt,
                                    bits=self.code_bits, five=self.five)
-            outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
+            outs = [jax.vmap(fn)(wr(c)) for c in coded]
             ctx = jnp.stack([c for c, _ in outs], axis=2)
             diff = jnp.stack([d for _, d in outs], axis=2)
             return (ctx.reshape(self.S, -1),
@@ -1168,9 +1184,10 @@ class DeviceFFV1Encoder:
                    + r2 * ryc[:, None, None]) >> 2)
         coded = [g2, b2 + offset, r2 + offset] \
             + ([crops[3]] if p.transparency else [])
+        wr = (lambda x: x) if p.use32bit else _wrap16
         fn = functools.partial(plane_context_diff, qt=self.qt,
                                bits=self.code_bits, five=self.five)
-        outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
+        outs = [jax.vmap(fn)(wr(c)) for c in coded]
         ctx = jnp.stack([c for c, _ in outs], axis=2)
         diff = jnp.stack([d for _, d in outs], axis=2)
         return (ctx.reshape(self.S, -1), diff.reshape(self.S, -1))
@@ -1201,10 +1218,20 @@ class DeviceFFV1Encoder:
         br = br - bg
         bb = bb - bg
         from .rct import RCT_Y_COEFF
+        # per-candidate cost <= ~2^20 at 16 bpc, so int32 partials stay
+        # exact only over <= 1024-column spans: chunk the width
+        S_, hm, wm = bg.shape
+        CW = 1024
+        pad = -wm % CW
+        if pad:
+            z = jnp.zeros((S_, hm, pad), jnp.int32)
+            bg, bb, br = (jnp.concatenate([a, z], axis=2)
+                          for a in (bg, bb, br))
         outs = []
         for (ry, by) in RCT_Y_COEFF:
             cost = jnp.abs(bg + ((br * ry + bb * by) >> 2))
-            outs.append(jnp.sum(cost, axis=2))
+            outs.append(jnp.sum(
+                cost.reshape(S_, hm, -1, CW), axis=3).reshape(S_, -1))
         return jnp.stack(outs, axis=1)
 
     def _pick_rct(self, planes_dev):
@@ -1529,7 +1556,8 @@ class DeviceFFV1Encoder:
         row_local = jnp.asarray(self.class_off_stream)[None, :] + ctx
         plan = layout_plan(row_local, diff, self.rows_per_slice,
                            tiles_cap * 128, tiles_cap,
-                           wide=self.code_bits > 10)
+                           wide=0 if self.code_bits <= 10
+                           else payload_field(self.code_bits)[2])
         # under a cap overflow this frame's result is garbage (the caller
         # detects via the size outputs and retries larger); keep the
         # kernel's DMAs in range regardless
@@ -1613,7 +1641,9 @@ class DeviceFFV1Encoder:
         # n_sv_words to n_ev_words operands and downstream op k reads
         # byte k directly (no slot->word mapping in the expand kernel)
         wide = self.code_bits > 10
-        mask, bias = (0xFFFF, 32768) if wide else (0x1FFF, 2048)
+        mask, bias, vbit_w = payload_field(self.code_bits)
+        if not wide:
+            mask = 0x1FFF
         diff_c = (ch1c[:scap] & mask) - bias
         ev_words = repack_emission_order(sv_words[:scap], diff_c,
                                          self.code_bits, ev_words_cap)
@@ -1625,7 +1655,7 @@ class DeviceFFV1Encoder:
         # the frame's true worst-case op count (VALID cells only —
         # empty cells carry payload 0): the caller checks it against
         # 4*ev_words_cap and retries wider when the cap was too narrow
-        vbit = 16 if wide else 13
+        vbit = vbit_w if wide else 13
         maxc = jnp.max(jnp.where((ch1c[:scap] >> vbit) & 1 == 1,
                                  event_count(diff_c), 0))
         return tuple(w[:n].reshape(n_slices, self.npix)

@@ -145,9 +145,13 @@ class ParallelFFV1Encoder:
         enc, p = self.enc, self.p
         S_local = crops[0].shape[0]
         if p.colorspace == 1:
-            order = range(3 + (1 if p.transparency else 0))
-            g, b, r = (_wrap16(crops[k].astype(jnp.int32))
-                       for k in range(3))
+            # use32bit (RGB 16 bpc): int32 sample ring, no int16 wrap
+            wr = (lambda x: x) if p.use32bit else _wrap16
+            # 9..14-bit planar RGB without alpha reads G<->B swapped
+            # (ffv1enc_template.c:170-172) — mirror DeviceFFV1Encoder
+            swap = (not p.use32bit and not p.transparency and p.bits > 8)
+            gi, bi = (1, 0) if swap else (0, 1)
+            g, b, r = (crops[k].astype(jnp.int32) for k in (gi, bi, 2))
             offset = 1 << max(p.bits, 8)
             b2 = b - g
             r2 = r - g
@@ -157,7 +161,7 @@ class ParallelFFV1Encoder:
                 coded.append(crops[3].astype(jnp.int32))
             fn = functools.partial(plane_context_diff, qt=enc.qt,
                                    bits=enc.code_bits, five=enc.five)
-            outs = [jax.vmap(fn)(_wrap16(c)) for c in coded]
+            outs = [jax.vmap(fn)(wr(c)) for c in coded]
             ctx = jnp.stack([c for c, _ in outs], axis=2)
             diff = jnp.stack([d for _, d in outs], axis=2)
             return (ctx.reshape(S_local, -1),

@@ -551,3 +551,39 @@ def test_device_encoder_v4_rgb_rct_search():
         a = dev.encode(planes, force_keyframe=key)
         bb = nat.encode(planes, key)
         assert a == bb, f"frame {t}: {len(a)} vs {len(bb)} bytes"
+
+
+@pytest.mark.parametrize("level", [3, 4])
+def test_device_encoder_rgb48(level):
+    """RGB 16 bpc (rgb48 / use32bit): int32 sample ring, 17-bit coding
+    depth and 17-bit cell payload field — byte-exact vs native across
+    key + inter frames (ffv1enc_template.c RGB48 path; level 4 adds the
+    on-device per-slice RCT search at this depth)."""
+    from ffmpeg_ffv2_tpu.ffv1.device_coder import DeviceFFV1Encoder
+    from ffmpeg_ffv2_tpu.ffv1.native import NativeFFV1Codec
+    rng = np.random.RandomState(23)
+    w, h = 48, 32
+    cfg = FFV1Config(level=level, coder=1, slices=4, slicecrc=1)
+    p = params_from_config(cfg, "rgb48", w, h)
+    assert p.use32bit
+    dev = DeviceFFV1Encoder(w, h, "rgb48", cfg, use_pallas=False)
+    assert dev.code_bits == 17
+    nat = NativeFFV1Codec(p)
+    dec = NativeFFV1Codec(p)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(3):
+        if t < 2:
+            # full-range content: b-g / r-g diffs reach +-65535, so the
+            # coded stream exercises e = 16 (the 17-bit payload field)
+            planes = [rng.randint(0, 1 << 16, (h, w)).astype(np.int32)
+                      for _ in range(3)]
+        else:
+            g = ((xx * 797 + yy * 1031 + 7 * t) % 65536).astype(np.int32)
+            planes = [g, (g * 3) % 65536, (g + 12345) % 65536]
+            planes = [pl.astype(np.int32) for pl in planes]
+        key = t == 0
+        a = dev.encode(planes, force_keyframe=key)
+        b = nat.encode(planes, key)
+        assert a == b, f"level {level} frame {t}: {len(a)} vs {len(b)}"
+        for x, pl in zip(dec.decode(a), planes):
+            assert np.array_equal(np.asarray(x), pl)
