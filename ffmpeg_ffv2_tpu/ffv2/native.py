@@ -219,17 +219,13 @@ class NativeFFV2Encoder:
         `_code_stage_into` consumes; pure function of the frame, so
         frames can be staged ahead of the entropy coder (pipelining)."""
         from .tpu import encode_front_q
-        from .pvq import icbrt
+        from .pvq import icbrt_array
         ph, pw = padded.shape[1:]
         nby, nbx = ph // SB, pw // SB
         bands_l = list(dsp.band_starts(SB))
         dc, pulses, igain = (front_q or encode_front_q)(
             padded, self.fmt.bits, self.cfg.qp, bands_l)
-        cg = np.empty(igain.shape, dtype=np.int32)
-        flat_ig = igain.reshape(-1)
-        flat_cg = cg.reshape(-1)
-        for i, v in enumerate(flat_ig):
-            flat_cg[i] = icbrt(int(v))
+        cg = icbrt_array(np.asarray(igain))
         return (np.ascontiguousarray(dc, dtype=np.int64),
                 np.ascontiguousarray(cg),
                 np.ascontiguousarray(pulses),

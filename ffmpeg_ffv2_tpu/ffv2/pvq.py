@@ -39,6 +39,22 @@ def icbrt(v: int) -> int:
     return r
 
 
+def icbrt_array(v):
+    """Exact integer cube root, vectorized (matches icbrt elementwise).
+    float64 cbrt is a <1-ulp seed for any int64 input, so a +-1 fixup
+    pass settles every element exactly."""
+    import numpy as np
+    v = np.asarray(v, dtype=np.int64)
+    r = np.rint(np.cbrt(np.maximum(v, 0).astype(np.float64))).astype(
+        np.int64)
+    r = np.where(r * r * r > v, r - 1, r)
+    r = np.where((r + 1) ** 3 <= v, r + 1, r)
+    # one more round guards the rare 2-ulp seed
+    r = np.where(r * r * r > v, r - 1, r)
+    r = np.where((r + 1) ** 3 <= v, r + 1, r)
+    return np.where(v > 0, r, 0).astype(np.int32)
+
+
 def pvq_prescale_shift(max_ax: int) -> int:
     """Right-shift that brings band magnitudes to <= 8 bits for the
     search (an encoder-side choice; all three implementations — numpy,
