@@ -118,3 +118,28 @@ def test_tpu_twopass_1080p():
                             params=p2)
     nat = NativeFFV1Codec(p2)
     _gate(dev, nat, frames, [True, False])
+
+
+def test_tpu_parallel_encoder_1080p():
+    """The public sharded encoder (ParallelFFV1Encoder, shard_map over a
+    ("data","slice") mesh) on the real chip: a 1-device mesh runs the
+    same sharded program structure the multi-chip dryrun validates on
+    virtual devices — packets byte-identical to the host encoder at
+    1080p/30 slices, key + inter, context state carried device-resident
+    between calls."""
+    _require_tpu()
+    from jax.sharding import Mesh
+    from ffmpeg_ffv2_tpu.parallel.ffv1 import ParallelFFV1Encoder
+    w, h = 1920, 1080
+    cfg = FFV1Config(level=3, coder=1, slices=30)
+    p = params_from_config(cfg, "yuv420p", w, h)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "slice"))
+    par = ParallelFFV1Encoder(w, h, "yuv420p", cfg, mesh)
+    nat = NativeFFV1Codec(p)
+    frames = synth_frames(w, h, 3, seed=555)
+    for t, fr in enumerate(frames):
+        kf = t == 0
+        pks = par.encode_batch([fr], force_keyframe=kf)
+        ref = nat.encode(fr, kf)
+        assert pks[0] == ref, f"frame {t}: {len(pks[0])} vs {len(ref)}"
