@@ -328,7 +328,11 @@ def device_main():
     emit("ffv1_1080p_encode_tpu_device", mp)
 
     # ---- all-intra batched device encode (frame-parallel lanes) ----
-    if os.environ.get("BENCH_BATCHED", "0") == "1":
+    # on by default since round 4: the B=4 batch compiles in ~15 min
+    # cold (cached thereafter) and is the best pipeline (24.2 Mpix/s
+    # vs 21.6 single-frame on the v5e); the budget kill-switch still
+    # protects the child, and the single-frame metric is emitted first
+    if os.environ.get("BENCH_BATCHED", "1") == "1":
         Bb = min(4, n_frames)
         pkb = dev.encode_batch(frames[:Bb])        # gate + cap adaptation
         for t in range(Bb):
