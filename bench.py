@@ -363,6 +363,65 @@ def device_main():
         mp = len(batches) * Bb * w * h / dt / 1e6
         emit(f"ffv1_1080p_encode_tpu_device_batched{Bb}", mp)
 
+    # ---- golomb-rice device pipeline (the FATE-default coder) ----
+    # per-stage dispatches (no single-sync megaprogram), so the cold
+    # compile is minutes, and the 1080p/30 geometry is shared with the
+    # on-TPU test tier's rice gate (warm .jax_cache)
+    if os.environ.get("BENCH_DEVICE_RICE", "1") == "1":
+        cfg_g = FFV1Config(level=3, coder=0, slices=30)
+        p_g = params_from_config(cfg_g, "yuv420p", w, h)
+        devg = DeviceFFV1Encoder(w, h, "yuv420p", cfg_g, use_pallas=True)
+        natg = NativeFFV1Codec(p_g)
+        decg = NativeFFV1Codec(p_g)
+        for t in range(2):
+            pk = devg.encode(frames[t], force_keyframe=gop(t))
+            ref = natg.encode(frames[t], gop(t))
+            assert pk == ref, f"device rice packet mismatch, frame {t}"
+            for a, b in zip(decg.decode(pk), frames[t]):
+                assert np.array_equal(a, b), "device rice not lossless"
+        print("# gate: tpu_device_rice packets byte-identical to native "
+              "and lossless", flush=True)
+
+        def rice_step(t, vcanon):
+            ctx, streams = devg._phase_a_rice(planes_dev[t])
+            plan = devg._s_rice_layout(ctx, streams["payload"],
+                                       devg.tiles_cap, devg.cellrows_cap)
+            ch1c, ch2c = devg._s_scatter(plan, devg.cellrows_cap)
+            code_cells, vcanon, psizes = devg._s_vlc_walk(
+                ch1c, plan, vcanon, gop(t), devg.tiles_cap)
+            vlc_codes = devg._s_rice_unsort(code_cells, ch2c, devg.S,
+                                            devg.sortrows_cap)
+            by, nbits, n_lad = devg._s_rice_bits(streams, vlc_codes,
+                                                 devg.ev_cap, devg.nwords)
+            probe = (jnp.sum(nbits) + jnp.sum(psizes) + jnp.max(n_lad)
+                     + jnp.sum(by[:, :128].astype(jnp.int32)))
+            return vcanon, (probe, psizes, jnp.max(n_lad),
+                            jnp.max(nbits))
+
+        vcanon = devg.vcanon
+        vcanon, sig = rice_step(0, vcanon)
+        vcanon, sig = rice_step(1, vcanon)
+        float(sig[0])
+        vcanon = devg.vcanon
+        t0 = time.perf_counter()
+        sigs = []
+        for t in range(n_frames):
+            vcanon, sig = rice_step(t, vcanon)
+            sigs.append(sig)
+        tot = float(sum(pr for pr, _, _, _ in sigs))   # one sync at end
+        dt = time.perf_counter() - t0
+        assert np.isfinite(tot)
+        for pr, psz, nl, nb in sigs:
+            rows, tiles, slots = (int(v) for v in np.asarray(psz))
+            assert rows + 1024 <= devg.cellrows_cap \
+                and rows <= devg.sortrows_cap \
+                and tiles <= devg.tiles_cap \
+                and slots <= devg.tiles_cap * 128, "rice layout overflow"
+            assert int(nl) <= devg.ev_cap, "rice ladder overflow"
+            assert int(nb) <= devg.nwords * 32, "rice bit-count overflow"
+        mp = n_frames * w * h / dt / 1e6
+        emit("ffv1_1080p_encode_tpu_device_rice", mp)
+
     # ---- adaptation kernel alone (the serial core on the chip) ----
     if jax.default_backend() == "tpu":
         from ffmpeg_ffv2_tpu.ffv1.device_coder import (layout_plan,
