@@ -24,6 +24,10 @@ Pipelines measured at equal frame counts, failures loud:
                     scalar fetched at the end; the dev tunnel's 19 MB/s
                     host<->device link is an artifact of this rig, not
                     of TPU hardware)
+  * tpu_device_batched / tpu_device_rice — the all-intra batched device
+                    pipeline (frame-parallel coder lanes) and the
+                    golomb-rice device pipeline (FATE's default coder),
+                    same device-resident convention
   * adapt kernel  — the VMEM-resident adaptation kernel alone
   * decode        — host decode throughput
   * 4K encode, FFV2 encode/decode
@@ -139,9 +143,28 @@ def bench_ref_binary(frames, w, h, n_frames, results):
     """Head-to-head vs the reference ffmpeg binary on this host: same
     synthetic input over a rawvideo file, -slices 30 -coder range,
     -threads 1 (this rig exposes one vCPU), gop 12 like our runs.
-    Wall-clock includes the binary's own startup — reported as-is."""
+    Wall-clock includes the binary's own startup — reported as-is.
+
+    When the binary is absent, build it first (tools/build_ref.sh, the
+    verify-skill recipe, ~10 min) under its own budget so the driver's
+    BENCH capture carries the head-to-head every round."""
     ref = os.environ.get("REF_FFMPEG", os.path.join(REPO, ".refbuild",
                                                     "ffmpeg"))
+    if not os.path.exists(ref) \
+            and os.environ.get("BENCH_BUILD_REF", "1") == "1" \
+            and os.path.exists("/root/reference/configure"):
+        budget = float(os.environ.get("BENCH_REF_BUILD_BUDGET", "1500"))
+        try:
+            subprocess.run(["sh", os.path.join(REPO, "tools",
+                                               "build_ref.sh")],
+                           timeout=budget, check=True,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.STDOUT)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            emit("ref_ffmpeg_1080p_encode", 0.0, vs=0.0,
+                 error=f"reference build failed: {type(e).__name__}")
+            return
     if not os.path.exists(ref):
         emit("ref_ffmpeg_1080p_encode", 0.0, vs=0.0,
              error="reference binary not built")
@@ -399,9 +422,12 @@ def device_main():
                             jnp.max(nbits))
 
         vcanon = devg.vcanon
-        vcanon, sig = rice_step(0, vcanon)
-        vcanon, sig = rice_step(1, vcanon)
-        float(sig[0])
+        vcanon, sig0 = rice_step(0, vcanon)
+        vcanon, sig1 = rice_step(1, vcanon)
+        float(sig0[0])
+        float(sig1[0])          # frame 0's outputs are not in sig1's
+        # dependency chain; block on both so no warm-up work leaks
+        # into the timed window
         vcanon = devg.vcanon
         t0 = time.perf_counter()
         sigs = []
@@ -420,6 +446,12 @@ def device_main():
             assert int(nl) <= devg.ev_cap, "rice ladder overflow"
             assert int(nb) <= devg.nwords * 32, "rice bit-count overflow"
         mp = n_frames * w * h / dt / 1e6
+        # device-resident convention, same as the range metric above:
+        # the timed loop syncs one probe scalar per batch; the per-frame
+        # host fetch of psizes/nbits + packet-byte assembly that
+        # devg.encode() performs is EXCLUDED (and for rice that fetch
+        # happens every frame, so frame-to-packet throughput through
+        # encode() is lower than this number)
         emit("ffv1_1080p_encode_tpu_device_rice", mp)
 
     # ---- adaptation kernel alone (the serial core on the chip) ----
@@ -501,6 +533,19 @@ def run_device_child(results):
                   f"device bench failed rc={proc.returncode}: "
                   + " | ".join(tail[-3:])[-300:])
         emit("ffv1_1080p_encode_tpu_device", 0.0, vs=0.0, error=reason)
+    elif proc.returncode != 0:
+        # partial run: some device metrics landed before the kill —
+        # emit loud error lines for the expected-but-missing ones so
+        # the truncation is visible in the round artifact
+        reason = (f"device bench truncated by {budget:.0f}s budget"
+                  if proc.returncode == -9 else
+                  f"device bench died rc={proc.returncode}")
+        print(f"# {reason}", flush=True)
+        expected = ["tpu_device", "tpu_device_rice"]
+        for name in expected:
+            if name not in results:
+                emit(f"ffv1_1080p_encode_{name}", 0.0, vs=0.0,
+                     error=reason)
 
 
 def main():

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .device_coder import lookup_packed, n_sv_words, payload_field
+from .device_coder import lookup_packed, payload_field
 
 CHUNK = 512
 
@@ -37,7 +37,7 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
             ch1_hbm, s0_ref, table_ref, carry_alias,
             sv_hbm, carry_hbm,
             in_scr, out_scr, carry_scr, dma_sems,
-            *, code_bits: int):
+            *, code_bits: int, ev_words: int):
     i = pl.program_id(0)
     cap = caps_ref[i]
     base = bases_ref[i]
@@ -114,17 +114,30 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
                        + issign * (v < 0).astype(jnp.int32))
                 vb = valid != 0
                 sv = jnp.where(vb, s, 0)
-                packed = (sv[0:8] | (sv[8:16] << 8)
-                          | (sv[16:24] << 16) | (sv[24:32] << 24))
+                # emission index of each slot's FIRST hit (the position
+                # of its sv byte in the pixel's rac-op stream):
+                #   slot 0 -> 0; exp slot j -> j; sign -> 2e+2;
+                #   mantissa slot 22+i -> 2e+1-i, except slot 31's
+                #   first hit when e > 9 lands at k = e+2 (i = e-1)
+                k_mant = jnp.where((slot_ids == 31) & (e > 9), e + 2,
+                                   2 * e + 1 - (slot_ids - 22))
+                kk = (isexp * slot_ids + issign * (2 * e + 2)
+                      + ismant * k_mant)
+                shifted = sv << ((kk & 3) * 8)
+                kw = kk >> 2
+                accs = [jnp.sum(jnp.where(kw == m, shifted, 0), axis=0,
+                                keepdims=True)
+                        for m in range(ev_words)]
                 idx9 = bit * 256 + s
                 ns = lookup_packed(table, idx9)
                 s = jnp.where(vb, ns, s)
                 if R > 0:
-                    # repeat hits of slots 10/31: sub-step j = hit j+1
+                    # repeat hits of slots 10/31 (e > 9): sub-step j is
+                    # hit j+1; emission k = 10+j (slot 10, the exp run)
+                    # and e+2+j (slot 31, the mantissa run)
                     is10 = (slot_ids == 10).astype(jnp.int32)
                     is31 = (slot_ids == 31).astype(jnp.int32)
-                    wsel = is10 + 256 * is31
-                    pairs = []
+                    e_lane = e[:1, :]
                     for j in range(1, R + 1):
                         vj = ((is10 * (e >= 9 + j)
                                + is31 * (e >= 10 + j)) & okpx)
@@ -133,17 +146,21 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
                                         & 1))
                         vjb = vj != 0
                         svj = jnp.where(vjb, s, 0)
-                        pairs.append(jnp.sum(svj * wsel, axis=0,
-                                             keepdims=True))
+                        val10 = jnp.sum(svj * is10, axis=0, keepdims=True)
+                        val31 = jnp.sum(svj * is31, axis=0, keepdims=True)
+                        k10 = 10 + j
+                        if k10 >> 2 < ev_words:
+                            accs[k10 >> 2] = (accs[k10 >> 2]
+                                              | (val10 << ((k10 & 3) * 8)))
+                        k31 = e_lane + 2 + j
+                        sh31 = val31 << ((k31 & 3) * 8)
+                        k31w = k31 >> 2
+                        for m in range(ev_words):
+                            accs[m] = accs[m] + jnp.where(k31w == m,
+                                                          sh31, 0)
                         nsj = lookup_packed(table, bj * 256 + s)
                         s = jnp.where(vjb, nsj, s)
-                    if len(pairs) % 2:
-                        pairs.append(jnp.zeros_like(pairs[0]))
-                    ext = jnp.concatenate(
-                        [pairs[2 * w] | (pairs[2 * w + 1] << 16)
-                         for w in range(len(pairs) // 2)], axis=0)
-                    packed = jnp.concatenate([packed, ext], axis=0)
-                out_scr[t] = packed
+                out_scr[t] = jnp.concatenate(accs, axis=0)
                 return s
 
             # 4x unroll: the dependent chain per row is short (gather ->
@@ -171,19 +188,22 @@ def _kernel(caps_ref, bases_ref, preds_ref,       # scalar prefetch
 
 @functools.partial(jax.jit,
                    static_argnames=("tiles_cap", "cellrows_cap",
-                                    "code_bits", "interpret"))
+                                    "code_bits", "ev_words", "interpret"))
 def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
                  packed_table, tiles_cap: int, cellrows_cap: int,
-                 code_bits: int = 10, interpret: bool = False):
-    """Same contract as device_coder.adapt_reference.
+                 code_bits: int = 10, ev_words: int = 2,
+                 interpret: bool = False):
+    """Adaptation walk with EMISSION-ORDER packed output.
 
-    Returns (sv_words (CELLROWS_CAP, W, 128) int32 — 8 packed pre-update
-    base words (word j = slots 4j..4j+3 little-endian) plus, for coding
-    depths > 10, (R+1)//2 repeat-pair words — and end_states
-    (TILES_CAP, 32, 128) int32 in SLOT_AT_ROW row order).  cellrows_cap
-    must leave >= CHUNK rows of slack past the last tile (device_coder
-    sizes it so)."""
-    W = n_sv_words(code_bits)
+    Returns (ev_cells (CELLROWS_CAP, ev_words, 128) int32 — byte k of
+    word k>>2 is the sv byte the pixel's k-th rac op consumes, i.e. the
+    repack_emission_order layout, produced in-kernel so the 8-slot-word
+    intermediate never round-trips HBM — and end_states (TILES_CAP, 32,
+    128) int32 in SLOT_AT_ROW row order).  ev_words caps the emission
+    bytes at 4*ev_words; the caller validates max event_count <=
+    4*ev_words from the layout sizes and retries wider on miss.
+    cellrows_cap must leave >= CHUNK rows of slack past the last tile
+    (device_coder sizes it so)."""
     carry0 = jnp.zeros((tiles_cap, 32, 128), jnp.int32)
     table = packed_table.reshape(1, 128)
 
@@ -198,20 +218,22 @@ def adapt_pallas(ch1_cells, tile_caps, tile_bases, tile_pred, s0_blocks,
             pl.BlockSpec(memory_space=pl.ANY),           # carry alias
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),           # sv cells
+            pl.BlockSpec(memory_space=pl.ANY),           # ev cells
             pl.BlockSpec(memory_space=pl.ANY),           # carry
         ),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, 128), jnp.int32),
-            pltpu.VMEM((CHUNK, W, 128), jnp.int32),
+            pltpu.VMEM((CHUNK, ev_words, 128), jnp.int32),
             pltpu.VMEM((1, 32, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     sv, carry = pl.pallas_call(
-        functools.partial(_kernel, code_bits=code_bits),
+        functools.partial(_kernel, code_bits=code_bits,
+                          ev_words=ev_words),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, W, 128), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((cellrows_cap, ev_words, 128),
+                                        jnp.int32),
                    jax.ShapeDtypeStruct((tiles_cap, 32, 128), jnp.int32)),
         input_output_aliases={6: 1},     # carry buffer in == out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

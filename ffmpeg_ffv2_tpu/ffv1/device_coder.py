@@ -1502,10 +1502,13 @@ class DeviceFFV1Encoder:
             tiles_cap, cellrows_cap, op_cap, sortrows_cap = caps
         sortrows_cap = min(sortrows_cap, cellrows_cap)
 
-        sv_words, ch1c, ch2c, canonical, psizes = self._s_front(
-            ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap)
-        words_n, maxc = self._s_unsort(sv_words, ch1c, ch2c, n_slices,
-                                       sortrows_cap, ev_words)
+        nw = n_ev_words(self.code_bits)
+        if ev_words is not None:
+            nw = min(nw, ev_words)
+        ev_cells, ch1c, ch2c, canonical, psizes = self._s_front(
+            ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap, nw)
+        words_n, maxc = self._s_unsort(ev_cells, ch1c, ch2c, n_slices,
+                                       sortrows_cap)
         opw, n_ops = self._s_expand(words_n, diff, svp, btp, hlen, op_cap)
         sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None],
                                  maxc[None]])
@@ -1519,7 +1522,7 @@ class DeviceFFV1Encoder:
         return impl_fn(*args)
 
     def _s_front(self, ctx, diff, canonical, keyframe, tiles_cap,
-                 cellrows_cap):
+                 cellrows_cap, ev_words):
         """Layout + scatter + s0 + adapt + writeback, as FOUR separate
         jitted dispatches (plus the pallas adapt kernel).  Splitting
         matters twice over: XLA compile time is superlinear in graph
@@ -1538,10 +1541,10 @@ class DeviceFFV1Encoder:
                               (reps, 1)),
                      jnp.full((1, 32), 128, jnp.uint8)], axis=0)
         s0 = self._s_s0(plan, canonical, tiles_cap)
-        sv_words, ends = self._adapt(ch1c, plan, s0, tiles_cap,
-                                     cellrows_cap)
+        ev_cells, ends = self._adapt(ch1c, plan, s0, tiles_cap,
+                                     cellrows_cap, ev_words)
         canonical, psizes = self._s_wb(plan, canonical, ends, tiles_cap)
-        return sv_words, ch1c, ch2c, canonical, psizes
+        return ev_cells, ch1c, ch2c, canonical, psizes
 
     def _s_layout(self, ctx, diff, tiles_cap, cellrows_cap):
         return self._disp(self._s_layout_jit, self._s_layout_impl,
@@ -1613,48 +1616,43 @@ class DeviceFFV1Encoder:
                             plan["n_slots"]])
         return canonical, psizes
 
-    def _s_unsort(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap,
-                  ev_words_cap=None):
+    def _s_unsort(self, ev_cells, ch1c, ch2c, n_slices, sortrows_cap):
         return self._disp(self._s_unsort_jit, self._s_unsort_impl,
-                          sv_words, ch1c, ch2c, n_slices, sortrows_cap,
-                          ev_words_cap)
+                          ev_cells, ch1c, ch2c, n_slices, sortrows_cap)
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "n_slices", "sortrows_cap", "ev_words_cap"))
-    def _s_unsort_jit(self, sv_words, ch1c, ch2c, n_slices, sortrows_cap,
-                      ev_words_cap=None):
-        return self._s_unsort_impl(sv_words, ch1c, ch2c, n_slices,
-                                   sortrows_cap, ev_words_cap)
+        "self", "n_slices", "sortrows_cap"))
+    def _s_unsort_jit(self, ev_cells, ch1c, ch2c, n_slices, sortrows_cap):
+        return self._s_unsort_impl(ev_cells, ch1c, ch2c, n_slices,
+                                   sortrows_cap)
 
-    def _s_unsort_impl(self, sv_words, ch1c, ch2c, n_slices,
-                       sortrows_cap, ev_words_cap=None):
+    def _s_unsort_impl(self, ev_cells, ch1c, ch2c, n_slices,
+                       sortrows_cap):
         # cells -> stream order: payload sort over the TIGHT cell domain
         # (on this chip XLA pixel-sized gathers run ~10 ns/element while
         # sorts run ~1 ns/element — permutations ride sorts; see
         # tools/microbench_ops.py).  Real cells occupy the dense prefix
         # [0, n_rows): the sort runs on the adaptive sortrows_cap prefix
         # (~n/128 * 9/8), not the DMA-slack-padded cell buffer; keys are
-        # scatter_cells' ch2 (stream index per cell, empty = int32 max)
+        # scatter_cells' ch2 (stream index per cell, empty = int32 max).
+        # ev_cells arrive EMISSION-ORDER packed from the adapt kernel
+        # (byte k of word k>>2 = the sv byte of the pixel's k-th op), so
+        # the sort payload is the final n_ev operands directly.
         n = n_slices * self.npix
         scap = sortrows_cap
-        # emission-order repack BEFORE the sort: the payload drops from
-        # n_sv_words to n_ev_words operands and downstream op k reads
-        # byte k directly (no slot->word mapping in the expand kernel)
         wide = self.code_bits > 10
         mask, bias, vbit_w = payload_field(self.code_bits)
         if not wide:
             mask = 0x1FFF
         diff_c = (ch1c[:scap] & mask) - bias
-        ev_words = repack_emission_order(sv_words[:scap], diff_c,
-                                         self.code_bits, ev_words_cap)
-        nw = ev_words.shape[1]
-        words = [ev_words[:, j, :].reshape(scap * 128)
+        nw = ev_cells.shape[1]
+        words = [ev_cells[:scap, j, :].reshape(scap * 128)
                  for j in range(nw)]
         keys = ch2c[:scap].reshape(scap * 128)
         sorted_ops = jax.lax.sort((keys, *words), num_keys=1)
         # the frame's true worst-case op count (VALID cells only —
         # empty cells carry payload 0): the caller checks it against
-        # 4*ev_words_cap and retries wider when the cap was too narrow
+        # 4*ev_words and retries wider when the cap was too narrow
         vbit = vbit_w if wide else 13
         maxc = jnp.max(jnp.where((ch1c[:scap] >> vbit) & 1 == 1,
                                  event_count(diff_c), 0))
@@ -1689,19 +1687,30 @@ class DeviceFFV1Encoder:
         return expand_ops_reference(words_n, diff, svp, btp, hlen,
                                     op_cap, self.code_bits)
 
-    def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap):
+    def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap, ev_words):
+        """Adaptation walk -> EMISSION-ORDER packed ev words per cell.
+
+        The pallas kernel packs emission bytes in-register (the 8-word
+        slot-packed intermediate — ~32 B/cell, the round-4 unsort's
+        dominant cost — never exists); the CPU/dryrun reference keeps the
+        slot-packed walk and repacks eagerly."""
         if self.use_pallas:
             from .adapt_pallas import adapt_pallas
             return adapt_pallas(
                 ch1c, plan["tile_caps"], plan["tile_bases"],
                 plan["tile_pred"], s0, jnp.asarray(self.table),
                 tiles_cap, cellrows_cap,
-                code_bits=self.code_bits,
+                code_bits=self.code_bits, ev_words=ev_words,
                 interpret=jax.default_backend() != "tpu")
-        return adapt_reference(ch1c, plan["tile_caps"], plan["tile_bases"],
-                               plan["tile_pred"], s0,
-                               jnp.asarray(self.table), tiles_cap,
-                               code_bits=self.code_bits)
+        sv_cells, ends = adapt_reference(
+            ch1c, plan["tile_caps"], plan["tile_bases"],
+            plan["tile_pred"], s0, jnp.asarray(self.table), tiles_cap,
+            code_bits=self.code_bits)
+        mask, bias, _ = payload_field(self.code_bits)
+        diff_c = (ch1c & mask) - bias
+        ev = repack_emission_order(sv_cells, diff_c, self.code_bits,
+                                   ev_words)
+        return ev, ends
 
     def _code_render(self, opw, steps, buf_cap, fast=True):
         """Arithmetic coding + packet-byte rendering, fully on device.

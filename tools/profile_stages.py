@@ -84,13 +84,13 @@ def main():
                        plan, cellrows_cap)
     canonk = jnp.full_like(canon, 128)
     s0 = timed("s0", lambda *a: dev._s_s0(*a), plan, canonk, tiles_cap)
-    sv_words, ends = timed("adapt", lambda *a: dev._adapt(*a),
-                           ch1c, plan, s0, tiles_cap, cellrows_cap)
+    uw = int(os.environ.get("PROF_UNSORT_WORDS", "0")) or dev.unsort_words
+    ev_cells, ends = timed("adapt", lambda *a: dev._adapt(*a),
+                           ch1c, plan, s0, tiles_cap, cellrows_cap, uw)
     canon2, psizes = timed("writeback", lambda *a: dev._s_wb(*a),
                            plan, canonk, ends, tiles_cap)
-    uw = int(os.environ.get("PROF_UNSORT_WORDS", "0")) or None
     words_n, _ = timed("unsort", lambda *a: dev._s_unsort(*a),
-                       sv_words, ch1c, ch2c, slices, sortrows_cap, uw)
+                       ev_cells, ch1c, ch2c, slices, sortrows_cap)
     win, totals, n_ops = timed(
         "window", lambda *a: dev._s_window_jit(*a),
         words_n, diff, svp, btp, hlen, op_cap)
