@@ -476,10 +476,12 @@ def layout_plan(row_local, diff, rows_per_slice: int, slots_cap: int,
     # positions per slice — every chain row has exactly one sentinel and
     # sentinels sort in chain-row order, so slice s's k-th compacted
     # entry IS group (s, k)'s start; sizes are adjacent differences.
-    sent_key = jnp.where(is_sent, row_s, drop)
-    _, sent_pos = jax.lax.sort((sent_key, pidx2 + jnp.zeros((S, 1), i32)),
-                               num_keys=1, dimension=1)
-    spos = sent_pos[:, :rows_per_slice]               # group start (sent)
+    # sentinel positions are already ascending per slice AND ascending
+    # in chain row (key (row<<B)|0), so compacting the masked positions
+    # is a ONE-operand sort (the values are the payload) — half the
+    # cost of the old (key, pidx) pair sort
+    spos = jax.lax.sort(jnp.where(is_sent, pidx2, drop),
+                        dimension=1)[:, :rows_per_slice]
     nxt_spos = jnp.concatenate(
         [spos[:, 1:], jnp.full((S, 1), M, i32)], axis=1)
     size_g = nxt_spos - spos - 1
