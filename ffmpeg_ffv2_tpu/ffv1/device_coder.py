@@ -912,15 +912,24 @@ class DeviceFFV1Encoder:
         self._v4rgb = p.version > 3 and p.colorspace == 1
         self._rct_prefix_cache = {}
         self.golomb = p.ac == CODER_GOLOMB
-        if self.golomb and p.colorspace != 0:
-            raise NotImplementedError("device rice: YUV/gray only")
-        # rice cell payload: 12-bit diff field for bits <= 12, 16-bit
-        # for 13..16 (silent flag at pb, layout valid flag at pb+1)
-        self._rice_pb = 12 if p.bits <= 12 else 16
+        if self.golomb and self._v4rgb:
+            raise NotImplementedError(
+                "device rice + version-4 RGB: the per-slice RCT search "
+                "re-plans the static rice headers per frame; use "
+                "version <= 3 (the FATE configuration) or the range "
+                "coder")
         # RGB codes the RCT planes at depth bits+1 (lbd path,
         # ffv1enc_template.c:193); depths 11..16 take the slot-repeat
         # sub-step path (R = depth-10 extra masked steps per pixel)
         self.code_bits = max(p.bits, 8) + 1 if p.colorspace == 1 else p.bits
+        # rice cell payload: 12-bit diff field for coding depths <= 12,
+        # 16-bit for 13..16 (silent flag at pb, layout valid flag at
+        # pb+1).  RGB rice (FATE's bgr0 default-coder config,
+        # vcodec.mak:179, ffv1enc.c:563) codes at bits+1 like the range
+        # path; its single run-index ladder spans the line-interleaved
+        # stream (ffv1enc_template.c:138 resets once per slice, vs
+        # encode_plane's per-plane reset, ffv1enc.c:280)
+        self._rice_pb = 12 if self.code_bits <= 12 else 16
         if self.code_bits > 17:
             raise NotImplementedError("device coder: coding depth <= 17")
         if p.initial_states is not None and self.golomb:
@@ -1288,10 +1297,43 @@ class DeviceFFV1Encoder:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _phase_a_rice(self, planes):
-        """planes -> (ctx (S, npix), rice stream dict of (S, npix))."""
+        """planes -> (ctx (S, npix), rice stream dict of (S, npix)).
+
+        RGB: fixed 1,1 RCT then per-plane run planning at code_bits —
+        runs never cross line ends (the encode_line flush,
+        ffv1enc_template.c:110-119), so per-plane planning is exact —
+        with the streams interleaved per line and ONE run-index ladder
+        across the whole interleaved stream (ffv1enc_template.c:138)."""
         from .tpu import plane_context_diff, _wrap16
         from .device_rice import build_rice_streams
         p = self.p
+        if p.colorspace == 1:
+            rects = self.crop_plan[0]
+            swap = (not p.use32bit and not p.transparency and p.bits > 8)
+            order = ((1, 0, 2) if swap else (0, 1, 2)) \
+                + ((3,) if p.transparency else ())
+            crops = [jnp.stack([
+                jax.lax.dynamic_slice(planes[k], (y, x), (h, w))
+                for (x, y, w, h) in rects]).astype(jnp.int32)
+                for k in order]
+            g, b, r = crops[0], crops[1], crops[2]
+            offset = 1 << max(p.bits, 8)
+            b2 = b - g
+            r2 = r - g
+            g2 = g + ((b2 + r2) >> 2)
+            coded = [g2, b2 + offset, r2 + offset] \
+                + ([crops[3]] if p.transparency else [])
+            wr = (lambda x: x) if p.use32bit else _wrap16
+            fn = functools.partial(plane_context_diff, qt=self.qt,
+                                   bits=self.code_bits, five=self.five)
+            outs = [jax.vmap(fn)(wr(c)) for c in coded]
+            ctx_pl = [c for c, _ in outs]
+            diff_pl = [d for _, d in outs]
+            streams = build_rice_streams(ctx_pl, diff_pl,
+                                         pb=self._rice_pb,
+                                         interleave=True)
+            ctx = jnp.stack(ctx_pl, axis=2).reshape(self.S, -1)
+            return ctx, streams
         ctx_pl, diff_pl = [], []
         for li, prects in enumerate(self.crop_plan):
             crops = jnp.stack([
@@ -1354,11 +1396,11 @@ class DeviceFFV1Encoder:
             code_cells, ends = vlc_adapt_pallas(
                 ch1c, plan["tile_caps"], plan["tile_bases"],
                 plan["tile_pred"], s0, tiles_cap,
-                int(ch1c.shape[0]), self.p.bits)
+                int(ch1c.shape[0]), self.code_bits)
         else:
             code_cells, ends = vlc_adapt_reference(
                 ch1c, plan["tile_caps"], plan["tile_bases"],
-                plan["tile_pred"], s0, tiles_cap, self.p.bits)
+                plan["tile_pred"], s0, tiles_cap, self.code_bits)
         vcanon = writeback_vlc(plan, vcanon, ends, tiles_cap)
         psizes = jnp.stack([plan["n_rows"], plan["n_tiles"],
                             plan["n_slots"]])

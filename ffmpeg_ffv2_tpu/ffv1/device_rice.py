@@ -322,7 +322,8 @@ def assemble_bits(lens, vals, nwords: int):
 # the vlc walk output, and assemble_bits)
 # ---------------------------------------------------------------------------
 
-def build_rice_streams(ctx_planes, diff_planes, pb: int = 12):
+def build_rice_streams(ctx_planes, diff_planes, pb: int = 12,
+                       interleave: bool = False):
     """Per-plane (S, h, w) |context| / folded-diff grids -> stream-order
     (S, npix) arrays for the rice pipeline.
 
@@ -331,26 +332,34 @@ def build_rice_streams(ctx_planes, diff_planes, pb: int = 12):
     pb+1), lad (bool, pixel carries a ladder event — run end or line
     flush), cnt (the ladder count), flush (bool), plane (plane index
     per stream pos).  pb = 12 covers bits <= 12; 16 covers 13..16.
-    """
+
+    interleave: RGB stream layout — planes alternate per LINE
+    (ffv1enc_template.c:188-198) and the run-index ladder is shared
+    across the whole interleaved stream (one reset per slice,
+    ffv1enc_template.c:138), so every position carries plane id 0.
+    Run planning stays per-plane either way: runs cannot cross line
+    ends (the encode_line flush)."""
     i32 = jnp.int32
     pays, lads, cnts, flushes, planes = [], [], [], [], []
     for li, (ctx, diff) in enumerate(zip(ctx_planes, diff_planes)):
         pr = plan_runs_plane(ctx, diff)
-        S = diff.shape[0]
         pay = (((pr["diff_adj"] + (1 << (pb - 1))) & ((1 << pb) - 1))
                | (pr["silent"].astype(i32) << pb))
         lad = pr["event"] | pr["flush"]
         cnt = jnp.where(pr["flush"], pr["flush_count"], pr["run_count"])
-        pays.append(pay.reshape(S, -1))
-        lads.append(lad.reshape(S, -1))
-        cnts.append(cnt.reshape(S, -1))
-        flushes.append(pr["flush"].reshape(S, -1))
-        planes.append(jnp.full(pay.reshape(S, -1).shape, li, i32))
-    return dict(payload=jnp.concatenate(pays, axis=1),
-                lad=jnp.concatenate(lads, axis=1),
-                cnt=jnp.concatenate(cnts, axis=1),
-                flush=jnp.concatenate(flushes, axis=1),
-                plane=jnp.concatenate(planes, axis=1))
+        pays.append(pay)
+        lads.append(lad)
+        cnts.append(cnt)
+        flushes.append(pr["flush"])
+        planes.append(jnp.full(pay.shape, 0 if interleave else li, i32))
+    S = diff_planes[0].shape[0]
+    if interleave:
+        cat = lambda xs: jnp.stack(xs, axis=2).reshape(S, -1)
+    else:
+        cat = lambda xs: jnp.concatenate(
+            [x.reshape(x.shape[0], -1) for x in xs], axis=1)
+    return dict(payload=cat(pays), lad=cat(lads), cnt=cat(cnts),
+                flush=cat(flushes), plane=cat(planes))
 
 
 def ladder_fields(streams, ev_cap: int):

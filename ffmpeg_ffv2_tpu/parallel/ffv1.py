@@ -162,6 +162,14 @@ class ParallelFFV1Encoder:
             fn = functools.partial(plane_context_diff, qt=enc.qt,
                                    bits=enc.code_bits, five=enc.five)
             outs = [jax.vmap(fn)(wr(c)) for c in coded]
+            if self.golomb:
+                from ..ffv1.device_rice import build_rice_streams
+                ctx_pl = [c for c, _ in outs]
+                streams = build_rice_streams(
+                    ctx_pl, [d for _, d in outs], pb=enc._rice_pb,
+                    interleave=True)
+                ctx = jnp.stack(ctx_pl, axis=2).reshape(S_local, -1)
+                return ctx, None, streams
             ctx = jnp.stack([c for c, _ in outs], axis=2)
             diff = jnp.stack([d for _, d in outs], axis=2)
             return (ctx.reshape(S_local, -1),
@@ -222,11 +230,12 @@ class ParallelFFV1Encoder:
                     code_cells, ends = vlc_adapt_pallas(
                         ch1c, plan["tile_caps"], plan["tile_bases"],
                         plan["tile_pred"], s0, caps["tiles"],
-                        int(ch1c.shape[0]), p.bits)
+                        int(ch1c.shape[0]), enc.code_bits)
                 else:
                     code_cells, ends = vlc_adapt_reference(
                         ch1c, plan["tile_caps"], plan["tile_bases"],
-                        plan["tile_pred"], s0, caps["tiles"], p.bits)
+                        plan["tile_pred"], s0, caps["tiles"],
+                        enc.code_bits)
                 vcanon = writeback_vlc(plan, vcanon, ends, caps["tiles"])
                 vlc_codes = enc._s_rice_unsort_impl(
                     code_cells, ch2c, S_local, caps["sortrows"])

@@ -182,6 +182,10 @@ def test_assemble_bits_matches_bitwriter():
 @pytest.mark.parametrize("pix,wh", [
     ("yuv420p", (64, 48)),
     ("gray", (48, 32)),
+    ("bgr0", (48, 32)),     # FATE's default-coder RGB config
+                            # (vcodec.mak:179, coder default ffv1enc.c:563):
+                            # RCT at bits+1, line-interleaved planes, one
+                            # shared run-index ladder
 ])
 def test_device_rice_encoder_byte_exact(pix, wh):
     """Full device golomb-rice pipeline == native packets."""

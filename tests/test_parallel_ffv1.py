@@ -81,3 +81,15 @@ def test_parallel_rejects_bad_mesh():
     with pytest.raises(ValueError, match="divisible"):
         ParallelFFV1Encoder(64, 32, "yuv420p", cfg, mesh,
                             use_pallas=False)
+
+
+def test_parallel_rgb_rice():
+    """FATE's default-coder bgr0 config on the sharded encoder."""
+    w, h = 64, 32
+    mesh = _mesh(1, 8)
+    cfg = FFV1Config(level=3, coder=0, slices=16, slicecrc=1)
+    par = ParallelFFV1Encoder(w, h, "bgr0", cfg, mesh, use_pallas=False)
+    fr = _frames(w, h, 1, 5, rgb=True)[0]
+    ref = FFV1Encoder(w, h, "bgr0", cfg).encode(fr, True)
+    pkt = par.encode_batch([fr], force_keyframe=True)[0]
+    assert pkt == ref
