@@ -272,6 +272,35 @@ def bench_ffv2(n_frames):
     mp = len(fr2) * wf * hf / (time.perf_counter() - t0) / 1e6
     emit("ffv2_512_encode_compute", mp)
 
+    # head-to-head: the reference FFV2 encoder is single-threaded C
+    # (ffv2enc.c:453, no slice/frame threading) with the AVX PVQ search
+    # replaced by the same C stand-in our refbuild links (the asm needs
+    # x86asm).  Same content, same qp via -global_quality.
+    ref = os.environ.get("REF_FFMPEG", os.path.join(REPO, ".refbuild",
+                                                    "ffmpeg"))
+    if os.path.exists(ref):
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.yuv")
+            with open(src, "wb") as f:
+                for fr in fr2:
+                    for pl in fr:
+                        f.write(np.asarray(pl, np.uint8).tobytes())
+            out = os.path.join(td, "ref.mkv")
+            cmd = [ref, "-y", "-loglevel", "error", "-threads", "1",
+                   "-f", "rawvideo", "-pix_fmt", "yuv444p",
+                   "-s", f"{wf}x{hf}", "-i", src, "-c:v", "ffv2",
+                   "-strict", "-2", "-global_quality", "16",
+                   "-threads", "1", "-f", "matroska", out]
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True)
+            dt = time.perf_counter() - t0
+            emit("ref_ffmpeg_ffv2_512_encode",
+                 len(fr2) * wf * hf / dt / 1e6)
+    else:
+        emit("ref_ffmpeg_ffv2_512_encode", 0.0, vs=0.0,
+             error="reference binary not built")
+
 
 # ---------------------------------------------------------------------------
 # Device section (runs in a budgeted child process; see run_device_child)
@@ -570,10 +599,12 @@ def main():
         bench_decode(frames, w, h, gop, n_frames)
     if "4k" in which:
         bench_4k(n_frames, gop)
+    if "ref" in which:
+        # before ffv2: bench_ref_binary builds .refbuild/ffmpeg when
+        # absent, and bench_ffv2's head-to-head reuses it
+        bench_ref_binary(frames, w, h, n_frames, results)
     if "ffv2" in which:
         bench_ffv2(n_frames)
-    if "ref" in which:
-        bench_ref_binary(frames, w, h, n_frames, results)
 
     # device pipeline last, budgeted
     if "device" in which:

@@ -38,8 +38,9 @@ def main():
                 return
 
     slices = int(os.environ.get("PROF_SLICES", "30"))
+    coder = 0 if os.environ.get("PROF_CODER", "range") == "rice" else 1
     w, h = 1920, 1080
-    cfg = FFV1Config(level=3, coder=1, slices=slices)
+    cfg = FFV1Config(level=3, coder=coder, slices=slices)
     dev = dc.DeviceFFV1Encoder(w, h, "yuv420p", cfg, use_pallas=True)
     yy, xx = np.mgrid[0:h, 0:w]
     base = ((xx * 3 + yy * 2) % 256 // 8 * 8).astype(np.int32)
@@ -71,6 +72,88 @@ def main():
             ts.append(time.perf_counter() - t0)
         P(f"{name}: {max(min(ts) - rtt, 0.0) * 1e3:.1f} ms")
         return r
+
+    if coder == 0:
+        # golomb-rice stage profile (the FATE-default coder)
+        ctx, streams = timed("phase_a_rice", dev._phase_a_rice, planes)
+        plan = timed("rice_layout", lambda *a: dev._s_rice_layout(*a),
+                     ctx, streams["payload"], dev.tiles_cap,
+                     dev.cellrows_cap)
+        ch1c, ch2c = timed("scatter", lambda *a: dev._s_scatter(*a),
+                           plan, dev.cellrows_cap)
+        code_cells, vcanon, psizes = timed(
+            "vlc_walk", lambda *a: dev._s_vlc_walk(*a),
+            ch1c, plan, dev.vcanon, True, dev.tiles_cap)
+        vlc_codes = timed("rice_unsort", lambda *a: dev._s_rice_unsort(*a),
+                          code_cells, ch2c, dev.S, dev.sortrows_cap)
+        by, nbits, n_lad = timed("rice_bits", lambda *a: dev._s_rice_bits(*a),
+                                 streams, vlc_codes, dev.ev_cap, dev.nwords)
+        P("done")
+        return
+
+    B = int(os.environ.get("PROF_BATCH", "0"))
+    if B > 1:
+        # batched (all-intra) pipeline stage profile at batch size B
+        frames = []
+        for t in range(B):
+            frames.append([jnp.asarray((base + noise + 7 * t) & 0xFF),
+                           jnp.asarray((cb + t) & 0xFF),
+                           jnp.asarray((cb * 2 + 3 * t) & 0xFF)])
+        st = dev._batch_state(B)
+        caps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
+        parts = timed("phase_a_xB", lambda fs: [dev._phase_a(f) for f in fs],
+                      frames)
+        cat = timed("concat", lambda ps: (
+            jnp.concatenate([c for c, _ in ps], axis=0),
+            jnp.concatenate([d for _, d in ps], axis=0)), parts)
+        ctx, diff = cat
+        svp, btp, hlen = dev.prefix[True]
+        svpB, btpB, hlenB = (jnp.tile(svp, (B, 1)), jnp.tile(btp, (B, 1)),
+                             jnp.tile(hlen, B))
+        opw_nops = timed(
+            "ops_from_streams", lambda *a: dev.ops_from_streams(*a),
+            ctx, diff, st["canon"], svpB, btpB, hlenB, True, caps,
+            dev.unsort_words)
+        opw, n_ops, _, sizes = opw_nops
+        steps = int(opw.shape[1])
+        P(f"steps={steps} lanes={opw.shape[0]}")
+        fcv = timed("coder", lambda *a: dev._coder_jit(*a), opw, steps)
+        f, c, v = fcv
+        by = timed("render", lambda *a: dev._render_jit(*a),
+                   f, c, v, B * slices, steps, dev.render_cap, True)
+        # dispatch-only probe: host cost of queueing one full batch step
+        # (no sync) — the per-frame overhead encode() pays beyond device
+        # compute
+        def whole(fs):
+            parts = [dev._phase_a(f) for f in fs]
+            ctx = jnp.concatenate([c for c, _ in parts], axis=0)
+            diff = jnp.concatenate([d for _, d in parts], axis=0)
+            opw, n_ops, _, sizes = dev.ops_from_streams(
+                ctx, diff, st["canon"], svpB, btpB, hlenB, True, caps,
+                dev.unsort_words)
+            by, ln, fcm = dev._code_render(opw, steps, dev.render_cap)
+            return by, ln, fcm, sizes
+        r = whole(frames)
+        sync(r)
+        t0 = time.perf_counter()
+        r = whole(frames)
+        t_disp = time.perf_counter() - t0
+        sync(r)
+        t_all = time.perf_counter() - t0
+        P(f"dispatch-only (1 batch, host): {t_disp * 1e3:.1f} ms")
+        P(f"dispatch+sync (1 batch): {t_all * 1e3:.1f} ms")
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r1 = whole(frames)
+            r2 = whole(frames)
+            sync(r1)
+            sync(r2)
+            ts.append((time.perf_counter() - t0) / 2)
+        P(f"steady per-batch (2 queued): {min(ts) * 1e3:.1f} ms "
+          f"({B * w * h / min(ts) / 1e6:.1f} Mpix/s)")
+        P("done")
+        return
 
     caps = (dev.tiles_cap, dev.cellrows_cap, dev.op_cap, dev.sortrows_cap)
     tiles_cap, cellrows_cap, op_cap, sortrows_cap = caps
