@@ -16,6 +16,15 @@
   (``canonical``) carried device-resident between calls, exactly like
   the single-device session carries SliceState between frames.
 
+Non-uniform slice geometries (odd frame sizes where the floor/ceil
+slice boundaries differ, ff_ffv1_init_slice_contexts ffv1.c:117 — e.g.
+FATE's 34x34) shard too: the single-device encoder already partitions
+such frames into uniform-shape BANKS (device_coder.py slice_subset);
+here each bank runs its own shard_map program over the same mesh (its
+slice subset spread over the slice axis) and the host assembles the
+per-bank gathers in global slice order.  Each bank's slice count must
+divide the slice-axis size.
+
 Byte-exactness contract: every packet is identical to the single-device
 ``DeviceFFV1Encoder``/host encoder output for the same frame sequence —
 asserted by `__graft_entry__.dryrun_multichip` and tests.
@@ -39,50 +48,25 @@ from ..ffv1.expand_pallas import OP_GRAN
 from .slices import gather_slice_bytes, uniform_slice_stack
 
 
-class ParallelFFV1Encoder:
-    """Sharded FFV1 encode over a ("data", "slice") mesh.
+class _BankUnit:
+    """One uniform-geometry slice bank under the mesh: its own caps,
+    carried coder state, and compiled shard_map programs.  For uniform
+    frames there is exactly one unit covering every slice."""
 
-    Parameters
-    ----------
-    width, height, pix_fmt, cfg : like ``DeviceFFV1Encoder``.
-    mesh : ``jax.sharding.Mesh`` with axes ("data", "slice");
-        cfg.slices must be divisible by the slice-axis size.
-    use_pallas : force the pallas kernels on/off (default: on iff the
-        backend is TPU).
-
-    ``encode_batch(frames)`` consumes one frame per data lane per call;
-    lane b's frames form an independent stream (GOP-parallel).  All
-    lanes share the keyframe flag per call (aligned GOPs), matching the
-    GOP-parallel host decoder (ffv1/batched.py).
-    """
-
-    def __init__(self, width, height, pix_fmt, cfg: FFV1Config, mesh,
-                 use_pallas=None):
-        if "data" not in mesh.shape or "slice" not in mesh.shape:
-            raise ValueError('mesh must have axes ("data", "slice")')
-        self.mesh = mesh
-        self.data = int(mesh.shape["data"])
-        self.n_shards = int(mesh.shape["slice"])
-        if cfg.slices % self.n_shards:
+    def __init__(self, enc: DeviceFFV1Encoder, mesh, data: int,
+                 n_shards: int):
+        if len(enc.slice_ids) % n_shards:
             raise ValueError(
-                f"slices={cfg.slices} not divisible by slice-axis size "
-                f"{self.n_shards}")
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        self.enc = DeviceFFV1Encoder(width, height, pix_fmt, cfg,
-                                     use_pallas=use_pallas)
-        if self.enc._banks is not None:
-            raise NotImplementedError(
-                "ParallelFFV1Encoder: non-uniform slice geometry (the "
-                "sharded stream layout needs one crop shape); use a "
-                "frame size divisible by the slice grid, or the "
-                "single-device DeviceFFV1Encoder (shape banks)")
-        enc, p = self.enc, self.enc.p
-        self.p = p
-        self.cfg = cfg
+                f"bank of {len(enc.slice_ids)} slices not divisible by "
+                f"slice-axis size {n_shards} (slice shapes "
+                f"{[pr[0][2:] for pr in enc.crop_plan]})")
+        self.enc = enc
+        self.mesh = mesh
+        self.data = data
+        self.n_shards = n_shards
         self.golomb = enc.golomb
-        self.extradata = enc.extradata
-        self.S_local = p.slice_count // self.n_shards
+        p = self.p = enc.p
+        self.S_local = len(enc.slice_ids) // n_shards
         self.n_local = self.S_local * enc.npix
         self.chain_rows = self.S_local * enc.rows_per_slice
         # per-shard adaptive working domains, on quantize_cap rungs (the
@@ -112,22 +96,21 @@ class ParallelFFV1Encoder:
         if self.golomb:
             from ..ffv1.device_rice import VLC_INIT
             v0 = np.tile(np.asarray(VLC_INIT, np.int32),
-                         (self.data, self.n_shards, self.chain_rows + 1, 1))
+                         (data, n_shards, self.chain_rows + 1, 1))
             self._state = jax.device_put(
                 jnp.asarray(v0), jax.sharding.NamedSharding(
                     mesh, P("data", "slice", None, None)))
         else:
-            c0 = np.full((self.data, self.n_shards, self.chain_rows + 1,
-                          32), 128, np.uint8)
+            c0 = np.full((data, n_shards, self.chain_rows + 1, 32), 128,
+                         np.uint8)
             self._state = jax.device_put(
                 jnp.asarray(c0), jax.sharding.NamedSharding(
                     mesh, P("data", "slice", None, None)))
-        self.picture_number = 0
         self._progs = {}
 
     # -- frame -> stacked slice crops (host) --------------------------------
 
-    def _crop_stacks(self, frames):
+    def crop_stacks(self, frames):
         enc = self.enc
         stacks = []
         for li, prects in enumerate(enc.crop_plan):
@@ -194,14 +177,14 @@ class ParallelFFV1Encoder:
 
     def _program(self, keyframe: bool, caps_key):
         """Compile (lazily) the sharded encode step for the current
-        caps.  Returns a jitted fn(crop_stacks..., state, *prefix) ->
+        caps.  Returns a jitted fn(state, [*prefix,] *crop_stacks) ->
         (by_all, ln_all, sizes, new_state)."""
         key = (keyframe, caps_key)
         if key in self._progs:
             return self._progs[key]
         enc, p = self.enc, self.p
         caps = dict(self.caps)
-        S_local, chain_rows = self.S_local, self.chain_rows
+        S_local = self.S_local
         golomb = self.golomb
         n_pl = len(enc.crop_plan)
         spec_in = P("data", "slice", None, None)
@@ -286,22 +269,12 @@ class ParallelFFV1Encoder:
         self._progs[key] = fn
         return fn
 
-    # -- public API ----------------------------------------------------------
-
-    def encode_batch(self, frames, force_keyframe=None):
-        """Encode one frame per data lane (len(frames) == mesh data
-        size); returns the list of assembled packets, byte-identical to
-        the single-device encoder run per lane."""
-        if len(frames) != self.data:
-            raise ValueError(
-                f"need {self.data} frames (one per data lane), got "
-                f"{len(frames)}")
-        enc, p = self.enc, self.p
-        gop = self.cfg.gop_size
-        keyframe = (gop == 0 or self.picture_number % gop == 0)
-        if force_keyframe is not None:
-            keyframe = bool(force_keyframe)
-        stacks = self._crop_stacks(frames)
+    def encode(self, frames, keyframe: bool):
+        """Run this bank's sharded step (with the validate-and-grow cap
+        retry) on one frame per data lane; returns host (by, ln) shaped
+        [data, S_bank, cap] / [data, S_bank]."""
+        enc = self.enc
+        stacks = self.crop_stacks(frames)
         if not self.golomb:
             svp, btp, hlen = (np.asarray(a) for a in enc.prefix[keyframe])
             pref = (svp[None].repeat(self.data, 0),
@@ -346,8 +319,10 @@ class ParallelFFV1Encoder:
         else:
             raise RuntimeError("parallel encode exceeded worst-case caps")
         self._state = new_state
-        self.picture_number += 1
-        return self._assemble(by, ln, keyframe)
+        S_bank = len(enc.slice_ids)
+        by_h = np.asarray(by).reshape(self.data, S_bank, -1)
+        ln_h = np.asarray(ln).reshape(self.data, S_bank)
+        return by_h, ln_h
 
     def _grow(self, szv):
         caps = self.caps
@@ -382,27 +357,95 @@ class ParallelFFV1Encoder:
                 self.enc.unsort_words = min(
                     n_ev_words(self.enc.code_bits), (maxc + 3) // 4)
 
-    def _assemble(self, by, ln, keyframe):
-        enc, p = self.enc, self.p
+
+class ParallelFFV1Encoder:
+    """Sharded FFV1 encode over a ("data", "slice") mesh.
+
+    Parameters
+    ----------
+    width, height, pix_fmt, cfg : like ``DeviceFFV1Encoder``.
+    mesh : ``jax.sharding.Mesh`` with axes ("data", "slice");
+        every slice bank's count must be divisible by the slice-axis
+        size (uniform frames have one bank of cfg.slices).
+    use_pallas : force the pallas kernels on/off (default: on iff the
+        backend is TPU).
+
+    ``encode_batch(frames)`` consumes one frame per data lane per call;
+    lane b's frames form an independent stream (GOP-parallel).  All
+    lanes share the keyframe flag per call (aligned GOPs), matching the
+    GOP-parallel host decoder (ffv1/batched.py).
+    """
+
+    def __init__(self, width, height, pix_fmt, cfg: FFV1Config, mesh,
+                 use_pallas=None):
+        if "data" not in mesh.shape or "slice" not in mesh.shape:
+            raise ValueError('mesh must have axes ("data", "slice")')
+        self.mesh = mesh
+        self.data = int(mesh.shape["data"])
+        self.n_shards = int(mesh.shape["slice"])
+        if cfg.slices % self.n_shards:
+            raise ValueError(
+                f"slices={cfg.slices} not divisible by slice-axis size "
+                f"{self.n_shards}")
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.enc = DeviceFFV1Encoder(width, height, pix_fmt, cfg,
+                                     use_pallas=use_pallas)
+        self.p = self.enc.p
+        self.cfg = cfg
+        self.golomb = self.enc.golomb
+        self.extradata = self.enc.extradata
+        if self.enc._banks is not None:
+            # non-uniform geometry: one sharded program per shape bank,
+            # each bank's slice subset spread over the slice axis
+            self.units = [_BankUnit(b, mesh, self.data, self.n_shards)
+                          for b in self.enc._banks]
+        else:
+            self.units = [_BankUnit(self.enc, mesh, self.data,
+                                    self.n_shards)]
+        self.picture_number = 0
+
+    # -- public API ----------------------------------------------------------
+
+    def encode_batch(self, frames, force_keyframe=None):
+        """Encode one frame per data lane (len(frames) == mesh data
+        size); returns the list of assembled packets, byte-identical to
+        the single-device encoder run per lane."""
+        if len(frames) != self.data:
+            raise ValueError(
+                f"need {self.data} frames (one per data lane), got "
+                f"{len(frames)}")
+        p = self.p
+        gop = self.cfg.gop_size
+        keyframe = (gop == 0 or self.picture_number % gop == 0)
+        if force_keyframe is not None:
+            keyframe = bool(force_keyframe)
         S = p.slice_count
-        by_h = np.asarray(by).reshape(self.data, S, -1)
-        ln_h = np.asarray(ln).reshape(self.data, S)
+        chunks = [[None] * S for _ in range(self.data)]
+        for unit in self.units:
+            by_h, ln_h = unit.encode(frames, keyframe)
+            enc = unit.enc
+            for b in range(self.data):
+                for li, si in enumerate(enc.slice_ids):
+                    if self.golomb:
+                        nby = (int(ln_h[b, li]) + 7) // 8
+                        chunks[b][si] = (enc.rice_headers[keyframe][li]
+                                         + by_h[b, li, :nby].tobytes())
+                    else:
+                        chunks[b][si] = \
+                            by_h[b, li, :int(ln_h[b, li])].tobytes()
+        self.picture_number += 1
         pkts = []
         for b in range(self.data):
-            chunks = []
+            out = []
             for si in range(S):
-                if self.golomb:
-                    nby = (int(ln_h[b, si]) + 7) // 8
-                    data = (enc.rice_headers[keyframe][si]
-                            + by_h[b, si, :nby].tobytes())
-                else:
-                    data = by_h[b, si, :int(ln_h[b, si])].tobytes()
+                data = chunks[b][si]
                 if si > 0 or p.version > 2:
                     assert len(data) < (1 << 24)
                     data += len(data).to_bytes(3, "big")
                     if p.ec:
                         data += b"\x00"
                         data += crc32_trailer(data)
-                chunks.append(data)
-            pkts.append(b"".join(chunks))
+                out.append(data)
+            pkts.append(b"".join(out))
         return pkts

@@ -83,6 +83,34 @@ def test_parallel_rejects_bad_mesh():
                             use_pallas=False)
 
 
+def test_parallel_banked_nonuniform():
+    """Non-uniform slice geometry (36x33 at 2x2: luma slice rows 16 vs
+    17) shards via shape banks: one shard_map program per bank, packets
+    byte-identical to the host encoder (VERDICT r4 item 7)."""
+    w, h = 36, 33
+    mesh = _mesh(1, 2)
+    cfg = FFV1Config(level=3, coder=1, slices=4, slicecrc=1)
+    par = ParallelFFV1Encoder(w, h, "yuv420p", cfg, mesh,
+                              use_pallas=False)
+    assert len(par.units) == 2
+    rng = np.random.RandomState(2)
+
+    def frame(t):
+        def plane(ph, pw, k):
+            yy, xx = np.mgrid[0:ph, 0:pw]
+            base = ((xx * (2 + k) + yy * (3 + k) + 5 * t) % 256) // 8 * 8
+            return (base + rng.randint(0, 4, (ph, pw))).astype(np.int32)
+        return [plane(h, w, 0), plane((h + 1) // 2, (w + 1) // 2, 1),
+                plane((h + 1) // 2, (w + 1) // 2, 2)]
+
+    frames = [frame(0), frame(1)]
+    enc = FFV1Encoder(w, h, "yuv420p", cfg)
+    for t in range(2):
+        ref = enc.encode(frames[t], t == 0)
+        pkt = par.encode_batch([frames[t]], force_keyframe=(t == 0))[0]
+        assert pkt == ref, f"frame {t}"
+
+
 def test_parallel_rgb_rice():
     """FATE's default-coder bgr0 config on the sharded encoder."""
     w, h = 64, 32

@@ -96,6 +96,22 @@ def test_tpu_rgb_720p():
           [True, False])
 
 
+def test_tpu_rice_rgb_720p():
+    """FATE's actual bgr0 configuration: 8-bit RGB defaults to the
+    Golomb-Rice coder (ffv1enc.c:563 — coder default -1 -> rice for
+    bits <= 8; FATE bgr0: tests/fate/vcodec.mak:179-180).  Device rice
+    RGB: fixed 1,1 RCT at bits+1, line-interleaved g/b/r streams, one
+    run-index ladder across the interleaved stream."""
+    _require_tpu()
+    w, h = 1280, 720
+    cfg = FFV1Config(level=3, coder=0, slices=16)
+    p = params_from_config(cfg, "bgr0", w, h)
+    dev = DeviceFFV1Encoder(w, h, "bgr0", cfg, use_pallas=True)
+    nat = NativeFFV1Codec(p)
+    _gate(dev, nat, synth_frames(w, h, 2, rgb=True, seed=31),
+          [True, False])
+
+
 def test_tpu_twopass_1080p():
     """2-pass: device encode with the pass-2 sorted transition table +
     per-context initial states == native (same params object)."""
