@@ -245,14 +245,14 @@ def bench_ffv2(n_frames):
     from ffmpeg_ffv2_tpu.ffv2 import dsp as _dsp
     from ffmpeg_ffv2_tpu.ffv2.native import _pad_px
     from ffmpeg_ffv2_tpu.ffv2.tpu import encode_front_q
-    from ffmpeg_ffv2_tpu.ffv2.pvq import icbrt
+    from ffmpeg_ffv2_tpu.ffv2.pvq import icbrt_array
     lib = enc2.lib
     bands_l = list(_dsp.band_starts(64))
     padded = np.stack([_pad_px(np.asarray(p), 8) for p in fr2[0]])
     dcq, pulses, igain = encode_front_q(padded, 8, 16, bands_l)
     t0 = time.perf_counter()
     for _ in range(len(fr2)):
-        cgq = np.vectorize(lambda v: icbrt(int(v)))(igain).astype(np.int32)
+        cgq = icbrt_array(np.asarray(igain))
         hq = lib.ffv2rt_enc_create(
             16, np.asarray(bands_l, np.int32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)), len(bands_l))

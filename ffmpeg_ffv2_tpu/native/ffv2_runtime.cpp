@@ -77,13 +77,19 @@ struct DaalaEnc {
     }
 
     void encode_cdf(int sidx, const uint16_t* cdf, int nsyms, bool q15) {
-        uint32_t fl = sidx > 0 ? cdf[sidx - 1] : 0;
-        uint32_t fh = cdf[sidx];
+        encode_cdf_acc([&](int i) { return (uint32_t)cdf[i]; }, sidx,
+                       nsyms, q15);
+    }
+
+    template <class F>
+    void encode_cdf_acc(F cdfat, int sidx, int nsyms, bool q15) {
+        uint32_t fl = sidx > 0 ? cdfat(sidx - 1) : 0;
+        uint32_t fh = cdfat(sidx);
         uint32_t ft;
         if (q15) {
             ft = 32768;
         } else {
-            ft = cdf[nsyms - 1];
+            ft = cdfat(nsyms - 1);
             int scale = 15 - log2p1(ft - 1);
             fl <<= scale;
             fh <<= scale;
@@ -93,12 +99,16 @@ struct DaalaEnc {
         uint32_t r = range;
         int scale2 = (r - ft) >= ft;
         ft <<= scale2;
-        fl <<= scale2;
-        fh <<= scale2;
         uint32_t d = r - ft;
         uint32_t g = sat(2ull * d, ft);
-        uint32_t u = fl + std::min(fl, g) + std::min((uint32_t)(sat(fl, g) >> 1), d);
+        fh <<= scale2;
         uint32_t v = fh + std::min(fh, g) + std::min((uint32_t)(sat(fh, g) >> 1), d);
+        if (sidx == 0) {           // fl = 0 -> u = 0 (dominant symbol)
+            renorm(l, v);
+            return;
+        }
+        fl <<= scale2;
+        uint32_t u = fl + std::min(fl, g) + std::min((uint32_t)(sat(fl, g) >> 1), d);
         renorm(l + u, v - u);
     }
 
@@ -225,6 +235,12 @@ struct DaalaDec {
     }
 
     int decode_cdf(const uint16_t* cdf, int cdf_size, bool q15) {
+        return decode_cdf_acc([&](int i) { return (uint32_t)cdf[i]; },
+                              cdf_size, q15);
+    }
+
+    template <class F>
+    int decode_cdf_acc(F cdfat, int cdf_size, bool q15) {
         uint32_t rng = range;
         uint64_t d64 = diff;
         const uint64_t cval = d64 >> (64 - 16);
@@ -235,7 +251,7 @@ struct DaalaDec {
             p_tot = 32768;
             scale = 0;
         } else {
-            p_tot = cdf[cdf_size - 1];
+            p_tot = cdfat(cdf_size - 1);
             scale = 15 - log2p1(p_tot - 1);
             p_tot <<= scale;
             if (rng - p_tot >= p_tot) {
@@ -252,10 +268,10 @@ struct DaalaDec {
                                         (int64_t)cval - (int64_t)d),
                                t3 >= 0 ? t3 / 3 : int64_t(-1)) >> scale;
         int ret = 0;
-        uint64_t u = 0, v = cdf[0];
+        uint64_t u = 0, v = cdfat(0);
         while (ret < cdf_size - 1 && (int64_t)v <= lim) {
             u = v;
-            v = cdf[++ret];
+            v = cdfat(++ret);
         }
         u <<= scale;
         v <<= scale;
@@ -292,9 +308,18 @@ struct DaalaDec {
     }
 };
 
-// adaptive CDF bank
+// adaptive CDF bank — offset representation.
+//
+// The reference adapt (daala_entropy.c:413-425) adds `inc` to every
+// entry >= the coded symbol, O(nsyms) per symbol; for the pulse CDFs
+// the dominant symbol is 0 (every entry bumps).  Keeping a per-row
+// additive `base` makes that common case O(1): logical[j] = v[j] +
+// base, adapt(0) is just base += inc, adapt(val>0) also subtracts inc
+// from the `val` skipped entries.  Pure representation change — the
+// logical CDF values (and therefore the bitstream) are identical.
 struct CDF {
-    std::vector<uint16_t> cdf;
+    std::vector<int32_t> v;
+    std::vector<uint32_t> base;
     int x, y, inc;
 
     void init(int x_, int y_, int inc_, int inc_shift) {
@@ -302,20 +327,29 @@ struct CDF {
         y = y_;
         inc = inc_;
         int inc_g = inc >> inc_shift;
-        cdf.assign((size_t)x * y, 0);
+        v.assign((size_t)x * y, 0);
+        base.assign((size_t)x, 0);
         for (int i = 0; i < x; i++)
             for (int j = 0; j < y; j++)
-                cdf[(size_t)i * y + j] = inc_g * j + inc_g;
+                v[(size_t)i * y + j] = inc_g * j + inc_g;
     }
 
-    uint16_t* row(int off) { return cdf.data() + (size_t)off * y; }
+    inline uint32_t at(int off, int j) const {
+        return (uint32_t)(v[(size_t)off * y + j] + (int32_t)base[off]);
+    }
 
     void adapt(int off, int val, int n) {
-        uint16_t* c = row(off);
-        if (c[n - 1] + inc > 32767)
+        int32_t* r = v.data() + (size_t)off * y;
+        uint32_t b = base[off];
+        if ((uint32_t)(r[n - 1] + (int32_t)b) + inc > 32767) {
             for (int i = 0; i < n; i++)
-                c[i] = (c[i] >> 1) + i + 1;
-        for (int i = val; i < n; i++) c[i] += inc;
+                r[i] = (int32_t)(((uint32_t)(r[i] + (int32_t)b)) >> 1)
+                       + i + 1;
+            b = 0;
+        }
+        b += inc;
+        for (int i = 0; i < val; i++) r[i] -= inc;
+        base[off] = b;
     }
 };
 
@@ -439,7 +473,8 @@ struct Ffv2Enc {
             for (int j = lo; j < hi; j++) {
                 if (pcnt >= qp) break;
                 int av = pulses[j] < 0 ? -pulses[j] : pulses[j];
-                ent.encode_cdf(av, pulse.row(bi % 13), qp, false);
+                ent.encode_cdf_acc([&](int i) { return pulse.at(bi % 13, i); },
+                                   av, qp, false);
                 pulse.adapt(bi % 13, av, qp);
                 if (av) ent.encode_bits(pulses[j] < 0, 1);
                 pcnt += av;
@@ -473,7 +508,8 @@ struct Ffv2Enc {
             for (int j = 0; j < len; j++) {
                 if (pcnt >= qp) break;
                 int av = (int)std::llabs(pulses[j]);
-                ent.encode_cdf(av, pulse.row(bi % 13), qp, false);
+                ent.encode_cdf_acc([&](int i) { return pulse.at(bi % 13, i); },
+                                   av, qp, false);
                 pulse.adapt(bi % 13, av, qp);
                 if (av) ent.encode_bits(pulses[j] < 0, 1);
                 pcnt += av;
@@ -523,7 +559,8 @@ void ffv2rt_enc_cdf_q15(void* h, int s, const uint16_t* cdf, int nsyms) {
 // split-tree symbol (adaptive CDF): 0=END 1=XY 2=Y 3=X
 void ffv2rt_enc_split(void* h, int split) {
     auto* e = static_cast<f2v::Ffv2Enc*>(h);
-    e->ent.encode_cdf(split, e->subdiv.row(0), 4, false);
+    e->ent.encode_cdf_acc([&](int i) { return e->subdiv.at(0, i); },
+                          split, 4, false);
     e->subdiv.adapt(0, split, 4);
 }
 
@@ -621,7 +658,8 @@ int ffv2rt_dec_cdf_q15(void* h, const uint16_t* cdf, int nsyms) {
 // decode one superblock into quantized streams; returns tx_type or -1
 int ffv2rt_dec_split(void* h) {
     auto* d = static_cast<f2v::Ffv2Dec*>(h);
-    int split = d->ent.decode_cdf(d->subdiv.row(0), 4, false);
+    int split = d->ent.decode_cdf_acc(
+        [&](int i) { return d->subdiv.at(0, i); }, 4, false);
     d->subdiv.adapt(0, split, 4);
     return split;
 }
@@ -649,8 +687,9 @@ int ffv2rt_dec_leaf(void* h, int64_t* streams, int n_planes, int n) {
             int pcnt = 0;
             for (int j = 0; j < len; j++) {
                 if (pcnt >= d->qp) break;
-                int v = d->ent.decode_cdf(d->pulse.row(bi % 13), d->qp,
-                                          false);
+                int v = d->ent.decode_cdf_acc(
+                    [&](int i) { return d->pulse.at(bi % 13, i); },
+                    d->qp, false);
                 d->pulse.adapt(bi % 13, v, d->qp);
                 int64_t sv = v;
                 if (v && d->ent.decode_bits(1)) sv = -sv;
