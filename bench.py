@@ -525,8 +525,42 @@ def device_main():
 def run_device_child(results):
     """Run the device section in a child process under a wall-clock
     budget; echo its JSON lines and collect metric values.  On timeout
-    or failure emit a loud zero line so BENCH never ends up empty."""
+    or failure emit a loud zero line so BENCH never ends up empty.
+    One retry on a failed run with no metrics: the axon tunnel has been
+    observed to fail transiently (FAILED_PRECONDITION at a fetch) while
+    an immediate fresh process succeeds on the now-cached programs."""
     budget = float(os.environ.get("BENCH_DEVICE_BUDGET", "1200"))
+    t_start = time.perf_counter()
+    proc, got_metric, tail = _device_child_once(results, budget)
+    if proc.returncode != 0 and not got_metric:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining > 120:
+            print("# device child failed with no metrics; retrying once "
+                  f"({remaining:.0f}s left)", flush=True)
+            proc, got_metric, tail = _device_child_once(results,
+                                                        remaining)
+    if proc.returncode != 0 and not got_metric:
+        reason = (f"device bench exceeded {budget:.0f}s budget"
+                  if proc.returncode == -9 else
+                  f"device bench failed rc={proc.returncode}: "
+                  + " | ".join(tail[-3:])[-300:])
+        emit("ffv1_1080p_encode_tpu_device", 0.0, vs=0.0, error=reason)
+    elif proc.returncode != 0:
+        # partial run: some device metrics landed before the kill —
+        # emit loud error lines for the expected-but-missing ones so
+        # the truncation is visible in the round artifact
+        reason = (f"device bench truncated by {budget:.0f}s budget"
+                  if proc.returncode == -9 else
+                  f"device bench died rc={proc.returncode}")
+        print(f"# {reason}", flush=True)
+        expected = ["tpu_device", "tpu_device_rice"]
+        for name in expected:
+            if name not in results:
+                emit(f"ffv1_1080p_encode_{name}", 0.0, vs=0.0,
+                     error=reason)
+
+
+def _device_child_once(results, budget):
     env = dict(os.environ)
     proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
                              "--device-child"],
@@ -556,25 +590,7 @@ def run_device_child(results):
         proc.wait()
     finally:
         timer.cancel()
-    if proc.returncode != 0 and not got_metric:
-        reason = (f"device bench exceeded {budget:.0f}s budget"
-                  if proc.returncode == -9 else
-                  f"device bench failed rc={proc.returncode}: "
-                  + " | ".join(tail[-3:])[-300:])
-        emit("ffv1_1080p_encode_tpu_device", 0.0, vs=0.0, error=reason)
-    elif proc.returncode != 0:
-        # partial run: some device metrics landed before the kill —
-        # emit loud error lines for the expected-but-missing ones so
-        # the truncation is visible in the round artifact
-        reason = (f"device bench truncated by {budget:.0f}s budget"
-                  if proc.returncode == -9 else
-                  f"device bench died rc={proc.returncode}")
-        print(f"# {reason}", flush=True)
-        expected = ["tpu_device", "tpu_device_rice"]
-        for name in expected:
-            if name not in results:
-                emit(f"ffv1_1080p_encode_{name}", 0.0, vs=0.0,
-                     error=reason)
+    return proc, got_metric, tail
 
 
 def main():

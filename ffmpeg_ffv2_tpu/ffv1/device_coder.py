@@ -62,6 +62,13 @@ from . import headers as H
 # ---------------------------------------------------------------------------
 
 
+
+def _pace_sync(x):
+    """Tiny probe fetch forcing the queued computation to finish
+    (jax.block_until_ready returns early on the axon platform, so
+    pacing syncs by fetching a few elements — one tunnel round trip)."""
+    np.asarray(x.ravel()[:8])
+
 def transition_tables(p: FFV1Params) -> tuple[np.ndarray, np.ndarray]:
     """(zero_state, one_state) uint8[256] used by this stream's slices."""
     if p.ac == CODER_RANGE_CUSTOM:
@@ -1452,13 +1459,21 @@ class DeviceFFV1Encoder:
         p = self.p
         dev = [jnp.asarray(np.asarray(pl), jnp.int32) for pl in planes]
         vcanon0 = self.vcanon
+        pace = (jax.default_backend() == "tpu"
+                and not getattr(self, "_warmed_rice", False))
         for _ in range(8):
             ctx, streams = self._phase_a_rice(dev)
             plan = self._s_rice_layout(ctx, streams["payload"],
                                        self.tiles_cap, self.cellrows_cap)
+            if pace:
+                _pace_sync(plan["dest"])
             ch1c, ch2c = self._s_scatter(plan, self.cellrows_cap)
+            if pace:
+                _pace_sync(ch1c)
             code_cells, vcanon, psizes = self._s_vlc_walk(
                 ch1c, plan, vcanon0, keyframe, self.tiles_cap)
+            if pace:
+                _pace_sync(code_cells)
             vlc_codes = self._s_rice_unsort(
                 code_cells, ch2c, self.S, self.sortrows_cap)
             by, nbits, n_lad = self._s_rice_bits(
@@ -1492,6 +1507,7 @@ class DeviceFFV1Encoder:
         else:
             raise RuntimeError("device rice exceeded worst-case caps")
         self.vcanon = vcanon
+        self._warmed_rice = True
         by_h = np.asarray(by)
         hdrs = self.rice_headers[keyframe]
         return [hdrs[li] + by_h[li, :(int(nb[li]) + 7) // 8].tobytes()
@@ -1549,11 +1565,26 @@ class DeviceFFV1Encoder:
         nw = n_ev_words(self.code_bits)
         if ev_words is not None:
             nw = min(nw, ev_words)
+        # first-frame pacing: block after each stage dispatch while this
+        # session's programs load (set by _encode_frame_data; never set
+        # under a trace — the sharded path runs this inside shard_map).
+        # The axon tunnel has been observed to fail fetches with
+        # FAILED_PRECONDITION when a cold program set is queued
+        # back-to-back with no intervening sync; paced first frames have
+        # been 100% reliable on the same programs.
+        pace = getattr(self, "_pace", False) \
+            and not isinstance(ctx, jax.core.Tracer)
         ev_cells, ch1c, ch2c, canonical, psizes = self._s_front(
             ctx, diff, canonical, keyframe, tiles_cap, cellrows_cap, nw)
+        if pace:
+            _pace_sync(ev_cells)
         words_n, maxc = self._s_unsort(ev_cells, ch1c, ch2c, n_slices,
                                        sortrows_cap)
+        if pace:
+            _pace_sync(words_n[0])
         opw, n_ops = self._s_expand(words_n, diff, svp, btp, hlen, op_cap)
+        if pace:
+            _pace_sync(opw)
         sizes = jnp.concatenate([psizes, jnp.max(n_ops)[None],
                                  maxc[None]])
         return opw, n_ops, canonical, sizes
@@ -1573,8 +1604,14 @@ class DeviceFFV1Encoder:
         size (the monolithic front took ~10 min server-side per cap
         variant; the pieces compile in under a minute total), and a cap
         retry only recompiles the pieces whose shapes changed."""
+        pace = getattr(self, "_pace", False) \
+            and not isinstance(ctx, jax.core.Tracer)
         plan = self._s_layout(ctx, diff, tiles_cap, cellrows_cap)
+        if pace:
+            _pace_sync(plan["dest"])
         ch1c, ch2c = self._s_scatter(plan, cellrows_cap)
+        if pace:
+            _pace_sync(ch1c)
         if keyframe:
             if self.p.initial_states is None:
                 canonical = jnp.full_like(canonical, 128)
@@ -1587,6 +1624,8 @@ class DeviceFFV1Encoder:
         s0 = self._s_s0(plan, canonical, tiles_cap)
         ev_cells, ends = self._adapt(ch1c, plan, s0, tiles_cap,
                                      cellrows_cap, ev_words)
+        if pace:
+            _pace_sync(ends)
         canonical, psizes = self._s_wb(plan, canonical, ends, tiles_cap)
         return ev_cells, ch1c, ch2c, canonical, psizes
 
@@ -1773,6 +1812,8 @@ class DeviceFFV1Encoder:
         asynchronously so the split costs nothing."""
         if jax.default_backend() == "tpu":
             f, c, v = self._coder_jit(opw, steps)
+            if getattr(self, "_pace", False):
+                _pace_sync(f)
             return self._render_jit(f, c, v, int(opw.shape[0]), steps,
                                     buf_cap, fast)
         return self._code_render_impl(opw, steps, buf_cap, fast)
@@ -1895,6 +1936,9 @@ class DeviceFFV1Encoder:
         # dominant cost, so check sizes first and code at the smallest
         # pow2 step bucket instead.
         single_sync = jax.default_backend() == "tpu"
+        # pace the session's first frame: block per stage while the
+        # program set loads (see ops_from_streams)
+        self._pace = single_sync and not getattr(self, "_warmed", False)
         for _ in range(8):
             opw, n_ops, canon, sizes = self._pipeline(
                 dev, canon0, keyframe,
@@ -1983,6 +2027,8 @@ class DeviceFFV1Encoder:
             raise RuntimeError("device layout exceeded worst-case caps")
         self.canonical = canon
         by_h = np.asarray(by)
+        self._warmed = True
+        self._pace = False
         return [by_h[li, :int(ln_h[li])].tobytes()
                 for li in range(self.S)]
 
@@ -2048,6 +2094,8 @@ class DeviceFFV1Encoder:
         dev = [[jnp.asarray(np.asarray(pl), jnp.int32) for pl in f]
                for f in frames_list]
         st = self._batch_state(B)
+        self._pace = (jax.default_backend() == "tpu"
+                      and not st.get("warmed", False))
         for _ in range(8):
             caps = (st["tiles"], st["cellrows"], self.op_cap, st["sort"])
             opw, n_ops, _, sizes = self._pipeline_batch(
@@ -2083,6 +2131,8 @@ class DeviceFFV1Encoder:
         steps = max(512, min(steps, int(opw.shape[1])))
         by, ln_h = self._render_retry(opw, steps)
         by_h = np.asarray(by)
+        st["warmed"] = True
+        self._pace = False
         pkts = []
         for b in range(B):
             chunks = []
