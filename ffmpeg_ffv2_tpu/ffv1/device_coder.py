@@ -317,6 +317,12 @@ def repack_emission_order(sv_words, diff, code_bits: int,
 # ---------------------------------------------------------------------------
 
 
+_repack_jit = jax.jit(
+    lambda sv, diff, code_bits, n_words: repack_emission_order(
+        sv, diff, code_bits, n_words),
+    static_argnames=("code_bits", "n_words"))
+
+
 class RecordingRangeEncoder(RangeEncoder):
     """RangeEncoder that logs the (state value, bit) of every put()."""
 
@@ -1622,6 +1628,8 @@ class DeviceFFV1Encoder:
                               (reps, 1)),
                      jnp.full((1, 32), 128, jnp.uint8)], axis=0)
         s0 = self._s_s0(plan, canonical, tiles_cap)
+        if pace:
+            _pace_sync(s0)
         ev_cells, ends = self._adapt(ch1c, plan, s0, tiles_cap,
                                      cellrows_cap, ev_words)
         if pace:
@@ -1773,18 +1781,31 @@ class DeviceFFV1Encoder:
     def _adapt(self, ch1c, plan, s0, tiles_cap, cellrows_cap, ev_words):
         """Adaptation walk -> EMISSION-ORDER packed ev words per cell.
 
-        The pallas kernel packs emission bytes in-register (the 8-word
-        slot-packed intermediate — ~32 B/cell, the round-4 unsort's
-        dominant cost — never exists); the CPU/dryrun reference keeps the
-        slot-packed walk and repacks eagerly."""
+        Default pallas path: the slot-packed kernel + a jitted XLA
+        repack to emission order.  The in-kernel emission packing
+        (FFV1_ADAPT_EMISSION=1) avoids the slot-word HBM round trip but
+        intermittently faults the axon backend inside the full pipeline
+        (round-5 notes); it stays opt-in until the platform issue is
+        resolved.  The CPU/dryrun reference keeps the slot-packed walk
+        and repacks eagerly."""
         if self.use_pallas:
+            import os
             from .adapt_pallas import adapt_pallas
-            return adapt_pallas(
+            emission = os.environ.get("FFV1_ADAPT_EMISSION", "0") == "1"
+            out, ends = adapt_pallas(
                 ch1c, plan["tile_caps"], plan["tile_bases"],
                 plan["tile_pred"], s0, jnp.asarray(self.table),
                 tiles_cap, cellrows_cap,
                 code_bits=self.code_bits, ev_words=ev_words,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                emission_order=emission)
+            if emission:
+                return out, ends
+            mask, bias, _ = payload_field(self.code_bits)
+            diff_c = (ch1c & mask) - bias
+            ev = _repack_jit(out, diff_c, code_bits=self.code_bits,
+                             n_words=ev_words)
+            return ev, ends
         sv_cells, ends = adapt_reference(
             ch1c, plan["tile_caps"], plan["tile_bases"],
             plan["tile_pred"], s0, jnp.asarray(self.table), tiles_cap,
