@@ -447,44 +447,6 @@ def device_main():
         # encode() is lower than this number)
         emit("ffv1_1080p_encode_tpu_device_rice", mp)
 
-    # ---- all-intra batched device encode (frame-parallel lanes) ----
-    # LAST in the child since round 5: with the slot-packed adapt
-    # kernel as default (see adapt_pallas.py), the batch-shape
-    # compile (layout + repack at 4x rows) ran past a 3000 s budget
-    # cold on this rig, so the single-frame and rice metrics must
-    # land first; cached thereafter (r4: batched4 was best at 24.2
-    # vs 21.6 single-frame)
-    if os.environ.get("BENCH_BATCHED", "1") == "1":
-        Bb = min(4, n_frames)
-        pkb = dev.encode_batch(frames[:Bb])        # gate + cap adaptation
-        for t in range(Bb):
-            assert pkb[t] == nat_gate.encode(frames[t], True), \
-                f"batched device packet mismatch, frame {t}"
-        st = dev._batch_state(Bb)
-        bcaps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
-
-        def bstep(fr):
-            opw, n_ops, _, sizes = dev._pipeline_batch(fr, st["canon"],
-                                                       bcaps)
-            by, ln, fcm = dev._code_render(opw, ev_use, dev.render_cap)
-            return (jnp.sum(ln) + jnp.sum(sizes) + fcm
-                    + jnp.sum(by[:, :128].astype(jnp.int32)),
-                    jnp.max(n_ops), jnp.max(ln))
-
-        batches = [planes_dev[i:i + Bb]
-                   for i in range(0, n_frames - Bb + 1, Bb)]
-        pr, nm, lm = bstep(batches[0])
-        float(pr)
-        t0 = time.perf_counter()
-        outs = [bstep(bt) for bt in batches]
-        tot = float(sum(pr for pr, _, _ in outs))
-        dt = time.perf_counter() - t0
-        assert np.isfinite(tot)
-        assert all(float(nm) <= ev_use for _, nm, _ in outs)
-        assert all(float(lm) <= dev.render_cap for _, _, lm in outs)
-        mp = len(batches) * Bb * w * h / dt / 1e6
-        emit(f"ffv1_1080p_encode_tpu_device_batched{Bb}", mp)
-
     # ---- adaptation kernel alone (the serial core on the chip) ----
     if jax.default_backend() == "tpu":
         from ffmpeg_ffv2_tpu.ffv1.device_coder import (layout_plan,
@@ -522,6 +484,45 @@ def device_main():
             ts.append(time.perf_counter() - t0)
         kt = max(min(ts) - rtt, 1e-4)
         emit("ffv1_adapt_kernel_throughput", w * h / kt / 1e6)
+
+
+    # ---- all-intra batched device encode (frame-parallel lanes) ----
+    # LAST in the child since round 5: with the slot-packed adapt
+    # kernel as default (see adapt_pallas.py), the batch-shape
+    # compile (layout + repack at 4x rows) ran past a 3000 s budget
+    # cold on this rig, so the single-frame and rice metrics must
+    # land first; cached thereafter (r4: batched4 was best at 24.2
+    # vs 21.6 single-frame)
+    if os.environ.get("BENCH_BATCHED", "1") == "1":
+        Bb = min(4, n_frames)
+        pkb = dev.encode_batch(frames[:Bb])        # gate + cap adaptation
+        for t in range(Bb):
+            assert pkb[t] == nat_gate.encode(frames[t], True), \
+                f"batched device packet mismatch, frame {t}"
+        st = dev._batch_state(Bb)
+        bcaps = (st["tiles"], st["cellrows"], dev.op_cap, st["sort"])
+
+        def bstep(fr):
+            opw, n_ops, _, sizes = dev._pipeline_batch(fr, st["canon"],
+                                                       bcaps)
+            by, ln, fcm = dev._code_render(opw, ev_use, dev.render_cap)
+            return (jnp.sum(ln) + jnp.sum(sizes) + fcm
+                    + jnp.sum(by[:, :128].astype(jnp.int32)),
+                    jnp.max(n_ops), jnp.max(ln))
+
+        batches = [planes_dev[i:i + Bb]
+                   for i in range(0, n_frames - Bb + 1, Bb)]
+        pr, nm, lm = bstep(batches[0])
+        float(pr)
+        t0 = time.perf_counter()
+        outs = [bstep(bt) for bt in batches]
+        tot = float(sum(pr for pr, _, _ in outs))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(tot)
+        assert all(float(nm) <= ev_use for _, nm, _ in outs)
+        assert all(float(lm) <= dev.render_cap for _, _, lm in outs)
+        mp = len(batches) * Bb * w * h / dt / 1e6
+        emit(f"ffv1_1080p_encode_tpu_device_batched{Bb}", mp)
 
 
 def run_device_child(results):
